@@ -1,0 +1,87 @@
+package graft
+
+import graft.agg.SketchAggregators._
+import graft.audio.Pcm
+import graft.sketch.{MinHasher, SimHasher}
+import graft.text.Text
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.udf
+
+/** Column-function facade over the sketch/text/audio primitives.
+  *
+  * Aggregates go through `functions.udaf(Aggregator)` so Catalyst plans
+  * them as partial + final HashAggregate with only sketch state crossing
+  * the shuffle. Scalar helpers are deterministic Scala UDFs — all pure
+  * per-row maps (no shuffle), flagged `asNondeterministic` never.
+  */
+package object functions {
+
+  // ---- distinct-count sketches (reference A1-A8) --------------------------
+  def kmv_sketch(col: Column, nomK: Int = 4096): Column =
+    udaf(new DistinctSketchAgg(nomK)).apply(col)
+
+  def kmv_est(col: Column, nomK: Int = 4096): Column =
+    udaf(new DistinctEstAgg(nomK)).apply(col)
+
+  def kmv_est_long(col: Column, nomK: Int = 4096): Column =
+    udaf(new DistinctEstLongAgg(nomK)).apply(col)
+
+  def kmv_merge_est(sketchCol: Column): Column =
+    udaf(new MergeEstAgg).apply(sketchCol)
+
+  def kmv_merge(sketchCol: Column): Column =
+    udaf(new MergeSketchAgg).apply(sketchCol)
+
+  // ---- heavy hitters (reference A9-A11) ------------------------------------
+  def freq_items(col: Column, k: Int): Column =
+    udaf(new FreqItemsAgg(k)).apply(col)
+
+  // ---- minhash / simhash / shingling ---------------------------------------
+  def minhash_sig_agg(shingleHashCol: Column, numPerms: Int): Column =
+    udaf(new MinHashSigAgg(numPerms)).apply(shingleHashCol)
+
+  val shingle_hashes = udf((text: String, k: Int) =>
+    if (text == null) Array.emptyLongArray else Text.shingleHashes(text, k))
+
+  val minhash_text = udf((text: String, k: Int, numPerms: Int) =>
+    if (text == null) Array.emptyLongArray
+    else new MinHasher(numPerms).signature(Text.shingleHashes(text, k)))
+
+  val minhash_of_hashes = udf((hashes: Seq[Long], numPerms: Int) =>
+    new MinHasher(numPerms).signature(hashes.toArray))
+
+  val band_hashes = udf((sig: Seq[Long], bands: Int, rowsPerBand: Int) =>
+    MinHasher.bandHashes(sig.toArray, bands, rowsPerBand))
+
+  val simhash_text = udf((text: String) =>
+    if (text == null) 0L else SimHasher.simhash(Text.wordNgramHashes(text, 2)))
+
+  val simhash_buckets = udf((sim: Long, chunks: Int) => SimHasher.bucketKeys(sim, chunks))
+
+  val hamming = udf((a: Long, b: Long) => SimHasher.hammingDistance(a, b))
+
+  val exact_jaccard = udf((a: String, b: String, k: Int) => Text.exactJaccard(a, b, k))
+
+  val exact_containment = udf((a: String, b: String, k: Int) => Text.exactContainment(a, b, k))
+
+  // ---- text analysis --------------------------------------------------------
+  val lang_id = udf((text: String) => if (text == null) "en" else Text.langId(text)._1)
+
+  val lang_id_conf = udf((text: String) => if (text == null) 0.0 else Text.langId(text)._2)
+
+  val bpeish_token_count = udf((text: String) =>
+    if (text == null) 0 else Text.bpeIshTokenCount(text))
+
+  val rolling_fp = udf((text: String) => if (text == null) 0L else Text.rollingFingerprint(text))
+
+  val quality_struct = udf((text: String) => Text.quality(if (text == null) "" else text))
+
+  // ---- audio -----------------------------------------------------------------
+  val audio_fp_hashes = udf((bytes: Array[Byte], codec: String, srHz: Int) =>
+    if (bytes == null) Array.emptyLongArray
+    else Pcm.fingerprintHashes(Pcm.decode(bytes, codec), srHz))
+
+  val audio_n_samples = udf((bytes: Array[Byte], codec: String) =>
+    if (bytes == null) 0 else Pcm.decode(bytes, codec).length)
+}

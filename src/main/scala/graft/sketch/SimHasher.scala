@@ -1,0 +1,53 @@
+package graft.sketch
+
+/** 64-bit SimHash (Charikar '02) over token hashes, plus the
+  * Hamming-bucket keys used for candidate generation.
+  *
+  * Engine-new (SURVEY §2.6: "SimHash Hamming-bucket join -> equi-join on
+  * banded simhash prefixes"). Splitting 64 bits into `chunks` equal blocks
+  * guarantees by pigeonhole that any pair within Hamming distance
+  * (chunks - 1) shares at least one exact block -> candidates come from a
+  * plain equi-join on (chunk_id, chunk_value), no pairwise scan.
+  */
+object SimHasher {
+
+  /** SimHash of a multiset of 64-bit token hashes (weight 1 each). */
+  def simhash(tokenHashes: Array[Long]): Long = {
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < tokenHashes.length) {
+      val h = tokenHashes(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Bucket keys: (chunkId, chunkBits) pairs packed as a single long
+    * (chunkId in the top byte) so the join key is one BIGINT column. */
+  def bucketKeys(sim: Long, chunks: Int): Array[Long] = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val out = new Array[Long](chunks)
+    var c = 0
+    while (c < chunks) {
+      val bits = (sim >>> (c * width)) & mask
+      out(c) = (c.toLong << 56) | bits
+      c += 1
+    }
+    out
+  }
+}
