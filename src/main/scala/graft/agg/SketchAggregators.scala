@@ -90,6 +90,17 @@ object SketchAggregators {
     def outputEncoder: Encoder[Seq[FreqRow]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** FreqItems with caller-pinned map size (exact when oversize). */
+  final class FreqItemsLgAgg(k: Int, lgMaxK: Int) extends Aggregator[String, FreqSketch, Seq[FreqRow]] {
+    def zero: FreqSketch = new FreqSketch(lgMaxK)
+    def reduce(b: FreqSketch, a: String): FreqSketch = { if (a != null) b.update(a); b }
+    def merge(x: FreqSketch, y: FreqSketch): FreqSketch = { x.merge(y); x }
+    def finish(b: FreqSketch): Seq[FreqRow] =
+      b.topK(k).map { case (item, est, lb, ub) => FreqRow(item, est, lb, ub) }
+    def bufferEncoder: Encoder[FreqSketch] = kryo[FreqSketch]
+    def outputEncoder: Encoder[Seq[FreqRow]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** MinHash signature over pre-exploded shingle-hash rows (used for the
     * audio frame-hash path); elementwise-min merge is the monoid. */
   final class MinHashSigAgg(numPerms: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {

@@ -81,11 +81,14 @@ object Pcm {
   }
 
   // --- Robust fingerprint ---------------------------------------------------
-  // Philips-style (Haitsma-Kalker 2002) robust hash: per frame, band
-  // energies; bits = sign of (band-delta) - (previous frame's band-delta).
-  // Gain-invariant (scaling preserves energy ordering) and tolerant of
-  // additive noise at SNR >= 30 dB. Goertzel filters instead of FFT (no
-  // native libs; nBands * frame ops, fine for fingerprinting).
+  // Spectral-shape hash: per frame, log-spaced band energies (Goertzel —
+  // no FFT libs offline); bit b = band energy above the frame's median
+  // band energy. Gain-invariant (median scales with the signal) and
+  // robust to additive noise at SNR >= 30 dB: a bit only flips when a
+  // band crosses the median, and noise 30 dB down moves energies ~0.1%.
+  // (A Philips/Haitsma-Kalker delta-sign variant was tried first and
+  // measured fragile on tonal content: noise-only bands make delta signs
+  // coin flips; the above-median mask keeps them robustly 0.)
   final val FrameSize = 256
   final val HopSize = 128
   final val NBands = 17 // 16 fingerprint bits per frame
@@ -123,17 +126,20 @@ object Pcm {
       }
       f += 1
     }
-    val out = new Array[Int](math.max(0, nFrames - 1))
-    f = 1
+    val out = new Array[Int](nFrames)
+    val sorted = new Array[Double](NBands)
+    f = 0
     while (f < nFrames) {
+      System.arraycopy(energies(f), 0, sorted, 0, NBands)
+      java.util.Arrays.sort(sorted)
+      val median = sorted(NBands / 2)
       var bits = 0
       b = 0
       while (b < NBands - 1) {
-        val d = (energies(f)(b) - energies(f)(b + 1)) - (energies(f - 1)(b) - energies(f - 1)(b + 1))
-        if (d > 0) bits |= (1 << b)
+        if (energies(f)(b) > median) bits |= (1 << b)
         b += 1
       }
-      out(f - 1) = bits
+      out(f) = bits
       f += 1
     }
     out

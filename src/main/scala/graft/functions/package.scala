@@ -2,7 +2,7 @@ package graft
 
 import graft.agg.SketchAggregators._
 import graft.audio.Pcm
-import graft.sketch.{MinHasher, SimHasher}
+import graft.sketch.{DistinctSketch, MinHasher, SimHasher}
 import graft.text.Text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udaf
@@ -33,9 +33,25 @@ package object functions {
   def kmv_merge(sketchCol: Column): Column =
     udaf(new MergeSketchAgg).apply(sketchCol)
 
+  // ---- theta set algebra on serialized sketches (reference A6-A8) ----------
+  val theta_union_est = udf((a: Array[Byte], b: Array[Byte]) =>
+    DistinctSketch.union(Seq(DistinctSketch.deserialize(a), DistinctSketch.deserialize(b))).estimate)
+
+  val theta_intersect_est = udf((a: Array[Byte], b: Array[Byte]) =>
+    DistinctSketch.intersect(DistinctSketch.deserialize(a), DistinctSketch.deserialize(b)).estimate)
+
+  val theta_anotb_est = udf((a: Array[Byte], b: Array[Byte]) =>
+    DistinctSketch.aNotB(DistinctSketch.deserialize(a), DistinctSketch.deserialize(b)).estimate)
+
   // ---- heavy hitters (reference A9-A11) ------------------------------------
   def freq_items(col: Column, k: Int): Column =
     udaf(new FreqItemsAgg(k)).apply(col)
+
+  /** freq_items with an explicit map size — oversize it past the distinct
+    * count and the result is EXACT (offset stays 0), which turns the HH
+    * sketch into an oracle-checkable exact top-k. */
+  def freq_items_lg(col: Column, k: Int, lgMaxK: Int): Column =
+    udaf(new FreqItemsLgAgg(k, lgMaxK)).apply(col)
 
   // ---- minhash / simhash / shingling ---------------------------------------
   def minhash_sig_agg(shingleHashCol: Column, numPerms: Int): Column =

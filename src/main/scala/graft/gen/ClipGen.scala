@@ -1,0 +1,150 @@
+package graft.gen
+
+import graft.audio.Pcm
+import graft.sketch.Murmur3x64
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One row of the north-star input table (BASELINE.json input_hint). */
+final case class Clip(
+    clip_id: String,
+    bytes: Array[Byte],
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    transcript: String)
+
+/** Deterministic synthetic clips generator with planted duplicate groups
+  * (FIXTURES.md §1). Everything derives from (seed, index) through
+  * SplitMix64 streams, so the table is identical at any parallelism and
+  * across runs — generated distributed (one task per id range), never on
+  * the driver.
+  *
+  * Group layout per base index: group size s in {1,1,1,1,2,2,3,4,8 cycle};
+  * member 0 is the original; members 1..s-1 are perturbations:
+  *   1 -> exact copy (audio + transcript)
+  *   2 -> transcript ~2% word edits (MinHash path), same audio
+  *   3 -> audio gain 0.8x + noise at SNR 35dB (fingerprint path), same text
+  *   4 -> transcript 60% prefix (containment path), same audio
+  *   5+ -> exact copies
+  * ~10% of rows additionally share one "hot" sentence to exercise
+  * skew-aware band handling (FIXTURES knob "skew").
+  */
+object ClipGen {
+
+  private val Vocab: Array[String] = {
+    // seeded synthetic vocabulary, ~512 "words"
+    (0 until 512).map { i =>
+      val len = 3 + (Murmur3x64.mix64(i.toLong + 7) & 5).toInt
+      val s = new StringBuilder
+      var st = Murmur3x64.mix64(0xC0FFEEL + i)
+      (0 until len).foreach { _ =>
+        st = Murmur3x64.mix64(st)
+        s.append(('a' + ((st & 0x7fffffff) % 26)).toChar)
+      }
+      s.toString
+    }.toArray
+  }
+
+  private val HotSentence =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  private final class Rng(var state: Long) {
+    def nextLong(): Long = { state = Murmur3x64.mix64(state); state }
+    def nextInt(bound: Int): Int = ((nextLong() >>> 1) % bound).toInt
+    def nextDouble(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  private def groupSize(g: Long): Int =
+    Array(1, 1, 1, 1, 2, 2, 3, 4, 8)((g % 9).toInt)
+
+  private def baseTranscript(rng: Rng, hot: Boolean): String = {
+    val n = 20 + rng.nextInt(41) // 20..60 words
+    val sb = new StringBuilder
+    (0 until n).foreach { i =>
+      if (i > 0) sb.append(' ')
+      sb.append(Vocab(rng.nextInt(Vocab.length)))
+    }
+    if (hot) sb.append(' ').append(HotSentence)
+    sb.toString
+  }
+
+  private def baseAudio(rng: Rng, srHz: Int, durMs: Int): Array[Double] = {
+    val n = srHz * durMs / 1000
+    val out = new Array[Double](n)
+    // sum of 3 seeded sinusoids + low noise: realistic enough for the
+    // band-energy fingerprint to have structure
+    val f1 = 200 + rng.nextInt(800)
+    val f2 = 1000 + rng.nextInt(2000)
+    val f3 = 300 + rng.nextInt(500)
+    val (a1, a2, a3) = (0.4 + rng.nextDouble() * 0.2, 0.25, 0.15)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / srHz
+      out(i) = a1 * math.sin(2 * math.Pi * f1 * t) +
+        a2 * math.sin(2 * math.Pi * f2 * t) +
+        a3 * math.sin(2 * math.Pi * f3 * t) +
+        0.005 * ((rng.nextLong() >> 12).toDouble / (1L << 51).toDouble)
+      i += 1
+    }
+    out
+  }
+
+  private def perturbTranscript(rng: Rng, text: String): String = {
+    val words = text.split(' ')
+    val out = words.clone()
+    val edits = math.max(1, words.length / 50) // ~2%
+    (0 until edits).foreach { _ =>
+      out(rng.nextInt(words.length)) = Vocab(rng.nextInt(Vocab.length))
+    }
+    out.mkString(" ")
+  }
+
+  private def addNoiseAtSnr(rng: Rng, samples: Array[Double], snrDb: Double, gain: Double): Array[Double] = {
+    var sig = 0.0
+    samples.foreach(s => sig += s * s)
+    val noisePow = (sig / samples.length) * math.pow(10.0, -snrDb / 10.0)
+    val amp = math.sqrt(3.0 * noisePow) // uniform [-amp, amp] has power amp^2/3
+    samples.map { s =>
+      gain * s + amp * ((rng.nextLong() >> 12).toDouble / (1L << 51).toDouble)
+    }
+  }
+
+  /** All members of planted group `g`, deterministically. */
+  def group(seed: Long, g: Long): Seq[(Clip, Long)] = {
+    val s = groupSize(g)
+    val rng = new Rng(Murmur3x64.mix64(seed ^ (g * 0x9E3779B97F4A7C15L)))
+    val hot = rng.nextDouble() < 0.10
+    val srHz = if (rng.nextDouble() < 0.5) 8000 else 16000
+    val durMs = 300 + rng.nextInt(1200)
+    val text0 = baseTranscript(rng, hot)
+    val audio0 = baseAudio(rng, srHz, durMs)
+    (0 until s).map { m =>
+      val id = f"c${g}%09d_$m"
+      val (text, audio) = m match {
+        case 0 => (text0, audio0)
+        case 2 => (perturbTranscript(new Rng(rng.nextLong()), text0), audio0)
+        // audio-only duplicate: unrelated transcript, same (perturbed)
+        // audio -> only the fingerprint path can link it
+        case 3 => (baseTranscript(new Rng(rng.nextLong()), hot = false),
+          addNoiseAtSnr(new Rng(rng.nextLong()), audio0, 35.0, 0.8))
+        case 4 => (text0.split(' ').take(math.max(5, (text0.split(' ').length * 6) / 10)).mkString(" "), audio0)
+        case _ => (text0, audio0)
+      }
+      (Clip(id, Pcm.encodePcmS16le(audio), srHz, durMs, Pcm.CodecPcmS16le, text), g)
+    }
+  }
+
+  /** Distributed generation of ~nClips rows (complete groups). Returns the
+    * clips dataset and the planted truth (clip_id, group_id) — group ids
+    * with >1 member are true duplicate clusters by construction. */
+  def generate(spark: SparkSession, nClips: Int, seed: Long = 42L, numPartitions: Int = 32): (Dataset[Clip], DataFrame) = {
+    import spark.implicits._
+    // average group size = (1*4+2*2+3+4+8)/9 = 23/9 ≈ 2.56
+    val nGroups = math.max(1, (nClips * 9) / 23)
+    val groups = spark.range(0, nGroups, 1, numPartitions)
+    val rows = groups.flatMap(g => group(seed, g))
+    val clips = rows.map(_._1)
+    val truth = rows.map { case (c, g) => (c.clip_id, g) }.toDF("clip_id", "group_id")
+    (clips, truth)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components via alternating large-star/small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — converges in O(log^2 n) rounds, each round two
+  * shuffle-friendly groupBy+join passes. Engine-new (SURVEY §2.6): the
+  * north rule's union-find as an iterative DataFrame self-join.
+  *
+  * Scale notes (the part that must survive 10^12 edges):
+  *  - each iteration is groupBy(min) + join — both hash-partitioned on the
+  *    node id, so AQE can coalesce/skew-split; no driver-side state;
+  *  - `localCheckpoint` truncates lineage every round — without it the
+  *    plan doubles per iteration and Catalyst analysis time explodes
+  *    (SURVEY §4 custom-work item 3);
+  *  - convergence test is a cheap aggregate (sum of hashes), not collect.
+  */
+object ConnectedComponents {
+
+  /** edges: two long columns (src, dst), undirected, self-loops ignored.
+    * Returns (node LONG, component LONG) where component = min node id
+    * reachable — canonical cluster id (SURVEY §5: canonical = min id). */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+
+    // canonical undirected edge list, deduped, self-loops dropped
+    var e = edges.toDF("u", "v")
+      .where($"u" =!= $"v")
+      .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var prevSig: Row2 = signature(e)
+    while (!converged && iter < maxIter) {
+      // large-star: for each node, link every LARGER neighbor to the min
+      // of its neighborhood (incl. itself). Keeps the graph connected,
+      // strictly reduces large-id edges.
+      val nbrs = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = nbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .where($"u" =!= $"v")
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+
+      // small-star: orient edges to smaller ids; link all smaller
+      // neighbors (and self) to the neighborhood min.
+      val oriented = large.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      val mins2 = oriented.groupBy($"u").agg(min($"v").as("m"))
+      val small = oriented.join(mins2, "u")
+        .select(
+          array($"u", $"v").as("nodes"), $"m")
+        .select(explode($"nodes").as("u"), $"m".as("v"))
+        .where($"u" =!= $"v")
+        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .distinct()
+
+      val next = small.localCheckpoint(true)
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter iterations")
+
+    // after convergence every edge is (root, member); emit members + roots
+    val out = e.select($"v".as("node"), $"u".as("component"))
+      .union(e.select($"u".as("node"), $"u".as("component")))
+      .groupBy($"node").agg(min($"component").as("component"))
+    out
+  }
+
+  private case class Row2(n: Long, h: Long)
+
+  private def signature(e: DataFrame): Row2 = {
+    // bit_xor: order-independent and overflow-free under ANSI mode; the
+    // edge list is distinct so xor cancellation cannot hide a change
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    Row2(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Map arbitrary (string) vertex ids to longs, run CC, map back.
+    * At 10^12 scale string ids are hashed to 64-bit (collision p ~ n^2/2^64
+    * documented); here we keep an exact dictionary join for fidelity. */
+  def runOnStrings(spark: SparkSession, edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import spark.implicits._
+    // materialized once: reused for the collision guard, both edge joins,
+    // and the final id mapping — and it cuts the upstream (possibly very
+    // expensive) edge-producing plan out of the returned lineage
+    val verts = edges.select(col(aCol).as("id"))
+      .union(edges.select(col(bCol).as("id")))
+      .distinct()
+      .withColumn("nid", xxhash64($"id"))
+      .localCheckpoint(true)
+    // collision guard: xxhash64 must be injective over the observed ids
+    val dup = verts.groupBy($"nid").count().where($"count" > 1).limit(1).count()
+    require(dup == 0, "xxhash64 collision in vertex dictionary; rerun with salted ids")
+    val eN = edges
+      .join(verts.select($"id".as(aCol), $"nid".as("u")), aCol)
+      .join(verts.select($"id".as(bCol), $"nid".as("v")), bCol)
+      .select($"u", $"v")
+    val cc = run(spark, eN)
+    // component representative = min ORIGINAL id in the component (stable,
+    // partition-invariant cluster ids; SURVEY §5)
+    val withIds = cc.join(verts.select($"nid".as("node"), $"id"), "node")
+    val reps = withIds.groupBy($"component").agg(min($"id").as("cluster_id"))
+    withIds.join(reps, "component").select($"id".as("clip_id"), $"cluster_id")
+  }
+}

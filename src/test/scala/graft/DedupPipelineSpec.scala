@@ -1,0 +1,133 @@
+package graft
+
+import graft.audio.Pcm
+import graft.functions._
+import graft.gen.ClipGen
+import graft.pipeline.{Dedup, DedupConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E2E pipeline vs exact oracle (SURVEY §5 E2E level + §7.4 minimum slice):
+  * recall >= 0.99 against exact-Jaccard/containment/audio-overlap truth,
+  * precision = 1 by construction (verify IS exact), partition-invariance,
+  * and the SNR >= 30 dB per-row invariant. */
+class DedupPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val cfg = DedupConfig()
+  lazy val (clipsDs, truth) = ClipGen.generate(spark, nClips = 1200, seed = 42L, numPartitions = 8)
+  lazy val clips = clipsDs.toDF().cache()
+
+  /** Exact pairwise stats via inverted index (never all-pairs): intersection
+    * counts from a self-join on shingle hash, sizes from per-doc counts. */
+  private def exactPairs(exploded: DataFrame, minJ: Double, minCont: Double): DataFrame = {
+    val sizes = exploded.groupBy($"clip_id").agg(count(lit(1)).as("n"))
+    val l = exploded.select($"h", $"clip_id".as("a"))
+    val r = exploded.select($"h", $"clip_id".as("b"))
+    val inter = l.join(r, "h").where($"a" < $"b").groupBy($"a", $"b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select($"clip_id".as("a"), $"n".as("na")), "a")
+      .join(sizes.select($"clip_id".as("b"), $"n".as("nb")), "b")
+      .withColumn("j", $"i" / ($"na" + $"nb" - $"i"))
+      .withColumn("cont", $"i" / least($"na", $"nb"))
+      .where($"j" >= minJ || $"cont" >= minCont)
+      .select($"a", $"b")
+  }
+
+  lazy val oracleText = exactPairs(
+    clips.select($"clip_id", explode(shingle_hashes($"transcript", lit(cfg.shingleK))).as("h")),
+    cfg.tau, cfg.containmentTau).cache()
+
+  lazy val oracleAudio = exactPairs(
+    clips.select($"clip_id", explode(audio_fp_hashes($"bytes", $"codec", $"sr_hz")).as("h")),
+    cfg.audioTau, 2.0 /* containment off */).cache()
+
+  lazy val oracleEdges = oracleText.union(oracleAudio).distinct().cache()
+
+  lazy val predicted = Dedup.run(spark, clips, cfg).cache()
+
+  test("planted duplicate structure is present and audio fingerprints are robust") {
+    val n = clips.count()
+    assert(n > 1100, s"n=$n")
+    assert(oracleText.count() > 100)
+    // planted audio-only dups (member _3 vs _0): >=80% must clear the
+    // audio-overlap oracle threshold -> fingerprint robust to gain+noise
+    val planted3 = truth.select($"clip_id", $"group_id").as[(String, Long)].collect()
+      .groupBy(_._2).values
+      .filter(_.exists(_._1.endsWith("_3")))
+      .map { g =>
+        val orig = g.find(_._1.endsWith("_0")).get._1
+        val m3 = g.find(_._1.endsWith("_3")).get._1
+        (math.min(orig.length, m3.length), if (orig < m3) (orig, m3) else (m3, orig))
+      }.map(_._2).toSeq
+    assert(planted3.nonEmpty)
+    val oracleAudioSet = oracleAudio.as[(String, String)].collect().toSet
+    val hit = planted3.count(p => oracleAudioSet.contains(p))
+    assert(hit.toDouble / planted3.size >= 0.8,
+      s"audio fingerprint too fragile: $hit/${planted3.size}")
+  }
+
+  test("per-row invariant: planted audio perturbation stays above SNR 30 dB") {
+    val byId = clipsDs.collect().map(c => c.clip_id -> c).toMap
+    val pairs = byId.keys.filter(_.endsWith("_3")).take(20).map(id => (id.dropRight(1) + "0", id))
+    var checked = 0
+    pairs.foreach { case (a, b) =>
+      (byId.get(a), byId.get(b)) match {
+        case (Some(ca), Some(cb)) =>
+          val ra = Pcm.decodePcmS16le(ca.bytes)
+          val rb = Pcm.decodePcmS16le(cb.bytes)
+          // member 3 is gain 0.8x + noise: compare against gain-adjusted ref
+          val snr = Pcm.snrDb(ra.map(_ * 0.8), rb)
+          assert(snr >= 30.0, s"SNR($a,$b)=$snr")
+          checked += 1
+        case _ =>
+      }
+    }
+    assert(checked > 5)
+  }
+
+  test("dup-pair recall >= 0.99 and cluster precision = 1 vs exact oracle") {
+    val withCa = oracleEdges
+      .join(predicted.select($"clip_id".as("a"), $"cluster_id".as("ca")), "a")
+      .join(predicted.select($"clip_id".as("b"), $"cluster_id".as("cb")), "b")
+    val total = withCa.count()
+    val recalled = withCa.where($"ca" === $"cb").count()
+    val recall = recalled.toDouble / total
+    info(s"oracle pairs=$total recalled=$recalled recall=$recall")
+    assert(recall >= 0.99, s"recall=$recall ($recalled/$total)")
+
+    // precision: predicted co-clustered pairs must be reachable through
+    // oracle edges (verify is exact => predicted edges subset of oracle)
+    val oracleCc = {
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x; while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      oracleEdges.as[(String, String)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val predPairs = predicted.as[(String, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+    predPairs.foreach { members =>
+      val roots = members.map(m => oracleCc.getOrElse(m._1, m._1)).distinct
+      assert(roots.length == 1, s"predicted cluster mixes oracle components: ${members.take(5).toSeq}")
+    }
+  }
+
+  test("clusters are partition-invariant (1 vs 7 partitions)") {
+    val c1 = Dedup.run(spark, clips.repartition(1), cfg)
+      .as[(String, String)].collect().toMap
+    val c7 = Dedup.run(spark, clips.repartition(7), cfg)
+      .as[(String, String)].collect().toMap
+    val base = predicted.as[(String, String)].collect().toMap
+    assert(c1 == base && c7 == base)
+  }
+}
