@@ -1,24 +1,83 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
+  * line to stdout. q_word_jaccard_pairs is excluded: it is the exact
+  * quadratic oracle demo (inverted index over a ~60-word vocabulary makes
+  * every doc pair collide), not an engine operator.
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_keyed_distinct", "q_raw_merge", "q_theta_setops",
+    "q_hh_topk", "q_hot_shingles", "q_rolling_distinct",
+    "q_dedup_exact", "q_token_stats", "q_quality", "q_fingerprint",
+    "q_lang_id", "q_simhash_docs",
+    "q_ann_bruteforce", "q_ann_lsh",
+    "q_multimodal_meta", "q_pipeline_clusters")
+
+  def makeSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = makeSession(cpus)
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s ${sec}%8.2f s  rows=$n")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    // pipeline throughput: clips/sec over the synthetic clips table
+    val nClips = try SparkEntry.queries("q_multimodal_meta")(spark, sfDir).count() catch { case _: Throwable => 0L }
+    val pipeSec = results.toMap.getOrElse("q_pipeline_clusters", Double.NaN)
+    val clipsPerSec = if (pipeSec > 0) nClips / pipeSec else 0.0
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_clips_per_sec":${f"$clipsPerSec%.1f"}}""")
     spark.stop()
+  }
+}
+
+/** Scaling-efficiency evidence (north rule, sandbox stand-in): the SAME
+  * pipeline job on the SAME input at local[8] then local[32]; efficiency
+  * = (thr32/thr8)/4. Run: sbt "runMain graft.ScalingBench [nClips]". */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nClips = if (args.nonEmpty) args(0).toInt else 20000
+    def runAt(cpus: Int): (Double, Long) = {
+      val spark = Bench.makeSession(cpus.toString)
+      try {
+        val clips = graft.gen.ClipGen.generate(spark, nClips, seed = 42L, numPartitions = 64)._1.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = clips.count() // materialize input outside the timed window
+        val t0 = System.nanoTime()
+        val out = graft.pipeline.Dedup.run(spark, clips, graft.pipeline.DedupConfig())
+        val rows = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaling] local[$cpus]: $sec%.1f s, $n clips, $rows cluster rows, ${n / sec}%.1f clips/s")
+        (n / sec, rows)
+      } finally spark.stop()
+    }
+    val (thr8, r8) = runAt(8)
+    val (thr32, r32) = runAt(32)
+    require(r8 == r32, s"row mismatch across parallelism: $r8 vs $r32")
+    val eff = (thr32 / thr8) / 4.0
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"n_clips":${args.headOption.getOrElse("20000")}}""")
   }
 }

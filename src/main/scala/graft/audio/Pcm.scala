@@ -30,8 +30,10 @@ object Pcm {
     val out = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
+      // symmetric 32768 scale on both sides keeps round-trip error at
+      // 0.5 LSB (clamped only at exactly +1.0 full scale)
       val v = math.max(-1.0, math.min(1.0, samples(i)))
-      val s = math.round(v * 32767.0).toShort
+      val s = math.min(32767L, math.round(v * 32768.0)).toShort
       out(2 * i) = (s & 0xff).toByte
       out(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1

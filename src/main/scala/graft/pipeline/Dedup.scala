@@ -207,6 +207,22 @@ object Dedup {
     }
   }
 
+  /** Resumable variant: every stage is committed to a checkpoint table
+    * keyed by the config hash; a restarted run reuses published snapshots
+    * and recomputes only what is missing (north rule: "resumable from
+    * checkpoint with per-partition lineage + metrics"). The table write
+    * is the explicit materialization barrier — the promoted form of the
+    * reference's --raw/--merge seam (SURVEY §1.2). */
+  def runCheckpointed(spark: SparkSession, clips: DataFrame, cfg: DedupConfig,
+      checkpointRoot: String): DataFrame = {
+    val io = new graft.io.TableIO(spark, checkpointRoot)
+    val h = graft.io.TableIO.configHash(cfg)
+    val sigs = io.readOrCompute("signatures", h)(signatures(clips, cfg))
+    val cands = io.readOrCompute("candidates", h)(candidates(sigs, cfg))
+    val edges = io.readOrCompute("edges", h)(verify(clips, cands, cfg))
+    io.readOrCompute("clusters", h)(clusters(spark, clips, edges))
+  }
+
   /** Exact Jaccard over two pre-computed hash arrays (audio frame sets) —
     * built-in expression combo, stays in codegen. */
   private def array_jaccard(a: Column, b: Column): Column = {

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-query invariants against exact Spark-computed oracles on the
+  * driver-provided tables (the DuckDB gate is the driver's; these keep it
+  * honest locally). */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.keys.foreach { name =>
+      val n = q(name).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  }
+
+  test("kmv keyed distinct equals exact countDistinct (sketch in exact regime)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val got = q("q_keyed_distinct").as[(String, Double)].collect().toMap
+    val want = ev.groupBy($"event_type").agg(countDistinct($"user_id"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want.view.mapValues(_.toDouble).toMap)
+    // and the two-level raw/merge protocol agrees bit-for-bit
+    val merged = q("q_raw_merge").as[(String, Double)].collect().toMap
+    assert(merged == got)
+  }
+
+  test("theta set ops equal exact set cardinalities in exact regime") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val click = ev.where($"event_type" === "click").select($"user_id").distinct().as[Long].collect().toSet
+    val purch = ev.where($"event_type" === "purchase").select($"user_id").distinct().as[Long].collect().toSet
+    val row = q("q_theta_setops").head()
+    assert(row.getDouble(0) == (click ++ purch).size.toDouble)
+    assert(row.getDouble(1) == click.intersect(purch).size.toDouble)
+    assert(row.getDouble(2) == (click -- purch).size.toDouble)
+  }
+
+  test("hh topk equals exact group counts with deterministic ties") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val want = ev.groupBy($"event_type").count()
+      .orderBy(desc("count"), $"event_type").limit(3)
+      .as[(String, Long)].collect().toSeq
+    val got = q("q_hh_topk").select($"item", $"est").as[(String, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("minhash-lsh doc candidates recall exact J>=0.5 pairs") {
+    // exact word.. char-5-gram Jaccard oracle via inverted index
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = docs.select($"doc_id", explode(shingle_hashes($"text", lit(5))).as("h"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select($"h", $"doc_id".as("a"))
+      .join(sh.select($"h", $"doc_id".as("b")), "h")
+      .where($"a" < $"b").groupBy($"a", $"b").agg(count(lit(1)).as("i"))
+    val oracle = inter
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .where($"i" / ($"na" + $"nb" - $"i") >= 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val got = q("q_minhash_lsh_docs").select($"a", $"b").as[(Long, Long)].collect().toSet
+    if (oracle.nonEmpty) {
+      val recall = oracle.intersect(got).size.toDouble / oracle.size
+      info(s"lsh doc recall=$recall over ${oracle.size} oracle pairs")
+      assert(recall >= 0.95, s"recall=$recall")
+    }
+    // precision is exact by construction (verified with exact_jaccard)
+    assert(got.subsetOf(oracle) || oracle.isEmpty)
+  }
+
+  test("ann lsh recall vs brute force") {
+    val brute = q("q_ann_bruteforce").select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = q("q_ann_lsh").select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    info(s"ann recall=$recall (${approx.size} approx rows)")
+    assert(recall >= 0.5, s"ann lsh recall too low: $recall")
+  }
+
+  test("entry flagship returns clustered clips") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("clip_id", "cluster_id"))
+    assert(df.count() > 100)
+    // at least one non-singleton cluster (planted dups exist)
+    assert(df.groupBy($"cluster_id").count().where($"count" > 1).count() > 0)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.audio.Pcm
+import graft.text.Text
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAudioSpec extends AnyFunSuite {
+
+  test("shingles: deterministic, distinct, short-text fallback") {
+    val a = Text.shingleHashes("hello world", 5)
+    assert(a.toSeq == Text.shingleHashes("hello world", 5).toSeq)
+    assert(a.length == a.distinct.length)
+    assert(Text.shingleHashes("hi", 5).length == 1) // whole-text shingle
+    // repeated content collapses (distinct set semantics)
+    assert(Text.shingleHashes("ababababab", 2).length <= 2)
+  }
+
+  test("exact jaccard/containment: identity, disjoint, prefix") {
+    assert(Text.exactJaccard("same text here", "same text here", 5) == 1.0)
+    assert(Text.exactJaccard("aaaaaaaaaa", "bbbbbbbbbb", 5) == 0.0)
+    val long = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val prefix = long.take(40)
+    assert(Text.exactContainment(long, prefix, 5) > 0.9) // prefix contained
+    assert(Text.exactJaccard(long, prefix, 5) < 0.7)     // but jaccard diluted
+  }
+
+  test("langid: fixtures across scripts and languages") {
+    assert(Text.langId("the cat sat on the mat and it was happy with that")._1 == "en")
+    assert(Text.langId("der Hund ist nicht mit der Katze und das ist gut")._1 == "de")
+    assert(Text.langId("le chat est dans la maison et les oiseaux sont pour dans le jardin")._1 == "fr")
+    assert(Text.langId("el perro es una mascota que vive con los humanos para siempre")._1 == "es")
+    assert(Text.langId("今天天气很好我们去公园散步吧")._1 == "zh")
+    assert(Text.langId("")._1 == "en") // default
+  }
+
+  test("quality: sane ranges and degenerate inputs") {
+    val good = Text.quality("the quick brown fox jumps over the lazy dog near the river bank today")
+    assert(good.score > 0.5 && good.alphaRatio > 0.7 && good.stopwordRatio > 0.1)
+    val junk = Text.quality("!!! ??? *** $$$ %%% ^^^ &&& !!! ??? ***")
+    assert(junk.score < 0.2, s"junk score ${junk.score}")
+    assert(Text.quality("").score == 0.0)
+  }
+
+  test("token counting: whitespace and bpe-ish") {
+    assert(Text.tokens("a  b   c").toSeq == Seq("a", "b", "c"))
+    assert(Text.bpeIshTokenCount("hello, world! x2") == 6) // hello , world ! x 2
+    assert(Text.bpeIshTokenCount("") == 0)
+  }
+
+  test("rolling fingerprint: deterministic, order-sensitive, spread") {
+    val a = Text.rollingFingerprint("abc def")
+    assert(a == Text.rollingFingerprint("abc def"))
+    assert(a != Text.rollingFingerprint("def abc"))
+    assert(a >= 0 && a < (1L << 61) - 1)
+  }
+
+  test("pcm s16le: encode/decode round trip within quantization error") {
+    val samples = Array.tabulate(1000)(i => math.sin(i * 0.05) * 0.9)
+    val decoded = Pcm.decodePcmS16le(Pcm.encodePcmS16le(samples))
+    assert(decoded.length == 1000)
+    val maxErr = samples.zip(decoded).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 1.0 / 32768, s"maxErr=$maxErr")
+    assert(Pcm.snrDb(samples, decoded) > 80) // 16-bit quantization ~96dB
+  }
+
+  test("snr: exact, scaled, and noisy") {
+    val s = Array.tabulate(500)(i => math.sin(i * 0.1))
+    assert(Pcm.snrDb(s, s).isPosInfinity)
+    val noisy = s.map(_ + 0.01)
+    assert(Pcm.snrDb(s, noisy) > 30 && Pcm.snrDb(s, noisy) < 45)
+  }
+
+  test("audio fingerprint: gain-invariant, content-sensitive, stub decoder deterministic") {
+    val sr = 8000
+    val s = Array.tabulate(4000)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / sr) +
+      0.3 * math.sin(2 * math.Pi * 1200 * i / sr))
+    val f1 = Pcm.fingerprintHashes(s, sr).toSet
+    val f2 = Pcm.fingerprintHashes(s.map(_ * 0.5), sr).toSet
+    assert(f1 == f2, "gain must not change the fingerprint")
+    val other = Array.tabulate(4000)(i => 0.5 * math.sin(2 * math.Pi * 700 * i / sr))
+    val f3 = Pcm.fingerprintHashes(other, sr).toSet
+    assert(f1.intersect(f3).size.toDouble / f1.union(f3).size < 0.3)
+    // stub path: deterministic and shape-correct for unknown codecs
+    val stub1 = Pcm.decode(Array[Byte](1, 2, 3, 4), "opus")
+    val stub2 = Pcm.decode(Array[Byte](1, 2, 3, 4), "opus")
+    assert(stub1.toSeq == stub2.toSeq && stub1.forall(v => v >= -1.0 && v < 1.0))
+  }
+}
