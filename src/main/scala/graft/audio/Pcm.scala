@@ -93,7 +93,7 @@ object Pcm {
   // coin flips; the above-median mask keeps them robustly 0.)
   final val FrameSize = 256
   final val HopSize = 128
-  final val NBands = 17 // 16 fingerprint bits per frame
+  final val NBands = 25 // 24 fingerprint bits per frame
 
   /** Per-frame 16-bit fingerprints over the whole clip. */
   def fingerprintFrames(samples: Array[Double], srHz: Int): Array[Int] = {

@@ -81,6 +81,12 @@ package object functions {
 
   val exact_containment = udf((a: String, b: String, k: Int) => Text.exactContainment(a, b, k))
 
+  val winnow_hashes = udf((text: String, k: Int, window: Int) =>
+    if (text == null) Array.emptyLongArray else Text.winnowHashes(text, k, window))
+
+  val is_substring = udf((a: String, b: String) =>
+    a != null && b != null && Text.isSubstring(a, b))
+
   // ---- text analysis --------------------------------------------------------
   val lang_id = udf((text: String) => if (text == null) "en" else Text.langId(text)._1)
 

@@ -71,19 +71,28 @@ object ClipGen {
   private def baseAudio(rng: Rng, srHz: Int, durMs: Int): Array[Double] = {
     val n = srHz * durMs / 1000
     val out = new Array[Double](n)
-    // sum of 3 seeded sinusoids + low noise: realistic enough for the
-    // band-energy fingerprint to have structure
-    val f1 = 200 + rng.nextInt(800)
-    val f2 = 1000 + rng.nextInt(2000)
-    val f3 = 300 + rng.nextInt(500)
-    val (a1, a2, a3) = (0.4 + rng.nextDouble() * 0.2, 0.25, 0.15)
+    // speech-like time-VARYING signal: three tones whose frequencies and
+    // amplitudes re-draw every ~120 ms (seeded), plus low noise. Stationary
+    // sinusoids made every frame fingerprint identical, which destroyed
+    // fingerprint discrimination across clips (two clips agreeing on one
+    // spectral mask agreed everywhere); varying content gives each clip a
+    // distinctive fingerprint sequence like real audio has.
+    val seg = math.max(1, srHz * 120 / 1000)
+    var f1 = 0.0; var f2 = 0.0; var f3 = 0.0
+    var a1 = 0.0; var a2 = 0.0; var a3 = 0.0
+    var p1 = 0.0; var p2 = 0.0; var p3 = 0.0
     var i = 0
     while (i < n) {
-      val t = i.toDouble / srHz
-      out(i) = a1 * math.sin(2 * math.Pi * f1 * t) +
-        a2 * math.sin(2 * math.Pi * f2 * t) +
-        a3 * math.sin(2 * math.Pi * f3 * t) +
-        0.005 * ((rng.nextLong() >> 12).toDouble / (1L << 51).toDouble)
+      if (i % seg == 0) {
+        f1 = 150 + rng.nextInt(900); a1 = 0.30 + rng.nextDouble() * 0.25
+        f2 = 900 + rng.nextInt(2200); a2 = 0.10 + rng.nextDouble() * 0.20
+        f3 = 250 + rng.nextInt(700); a3 = 0.05 + rng.nextDouble() * 0.15
+      }
+      p1 += 2 * math.Pi * f1 / srHz
+      p2 += 2 * math.Pi * f2 / srHz
+      p3 += 2 * math.Pi * f3 / srHz
+      out(i) = a1 * math.sin(p1) + a2 * math.sin(p2) + a3 * math.sin(p3) +
+        0.004 * ((rng.nextLong() >> 12).toDouble / (1L << 51).toDouble)
       i += 1
     }
     out
@@ -128,6 +137,14 @@ object ClipGen {
         case 3 => (baseTranscript(new Rng(rng.nextLong()), hot = false),
           addNoiseAtSnr(new Rng(rng.nextLong()), audio0, 35.0, 0.8))
         case 4 => (text0.split(' ').take(math.max(5, (text0.split(' ').length * 6) / 10)).mkString(" "), audio0)
+        // mid-slice substring (non-prefix containment: the winnowing /
+        // suffix-array path is the only candidate source for it when the
+        // slice is short)
+        case 5 =>
+          val ws = text0.split(' ')
+          val from = ws.length / 4
+          (ws.slice(from, from + math.max(6, (ws.length * 4) / 10)).mkString(" "),
+            baseAudio(new Rng(rng.nextLong()), srHz, durMs)) // unrelated audio
         case _ => (text0, audio0)
       }
       (Clip(id, Pcm.encodePcmS16le(audio), srHz, durMs, Pcm.CodecPcmS16le, text), g)

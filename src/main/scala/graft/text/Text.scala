@@ -60,6 +60,54 @@ object Text {
     inter.toDouble / small.length
   }
 
+  /** Winnowed fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every k-gram, keep the minimum of each sliding window of `window`
+    * consecutive k-gram hashes (rightmost minimum on ties). GUARANTEE: two
+    * texts sharing any substring of length >= window + k - 1 share at
+    * least one fingerprint — this is the scalable stand-in for the
+    * north-star's distributed suffix-array substring pass: candidates
+    * from an equi-join on fingerprints, verification by exact contains().
+    */
+  def winnowHashes(text: String, k: Int, window: Int): Array[Long] = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    if (bytes.length <= k) return Array(Murmur3x64.hash64(bytes, Murmur3x64.DefaultSeed))
+    val n = bytes.length - k + 1
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      grams(i) = Murmur3x64.hash128(bytes, i, k, Murmur3x64.DefaultSeed)._1
+      i += 1
+    }
+    if (n <= window) {
+      var m = grams(0)
+      i = 1
+      while (i < n) { if (grams(i) <= m) m = grams(i); i += 1 }
+      return Array(m)
+    }
+    val set = new java.util.HashSet[java.lang.Long]()
+    // rightmost-minimum sliding window (deque algorithm)
+    val idx = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque of candidate indices, values increasing
+    i = 0
+    while (i < n) {
+      while (tail > head && grams(idx(tail - 1)) >= grams(i)) tail -= 1
+      idx(tail) = i; tail += 1
+      if (idx(head) <= i - window) head += 1
+      if (i >= window - 1) set.add(grams(idx(head)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Exact substring containment of the shorter in the longer. */
+  def isSubstring(a: String, b: String): Boolean =
+    if (a.length <= b.length) b.contains(a) else a.contains(b)
+
   /** Whitespace tokens (split on single spaces, empties removed). */
   def tokens(text: String): Array[String] = text.split(" ").filter(_.nonEmpty)
 

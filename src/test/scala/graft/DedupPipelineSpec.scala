@@ -44,7 +44,18 @@ class DedupPipelineSpec extends AnyFunSuite {
     clips.select($"clip_id", explode(audio_fp_hashes($"bytes", $"codec", $"sr_hz")).as("h")),
     cfg.audioTau, 2.0 /* containment off */).cache()
 
-  lazy val oracleEdges = oracleText.union(oracleAudio).distinct().cache()
+  /** Exact substring containment over ALL pairs (the suffix-array truth):
+    * affordable at test scale via a length-bucketless crossJoin. */
+  lazy val oracleSubstring = {
+    val t = clips.select($"clip_id", $"transcript")
+    t.select($"clip_id".as("a"), $"transcript".as("ta"))
+      .crossJoin(t.select($"clip_id".as("b"), $"transcript".as("tb")))
+      .where($"a" < $"b")
+      .where(graft.functions.is_substring($"ta", $"tb"))
+      .select($"a", $"b")
+  }
+
+  lazy val oracleEdges = oracleText.union(oracleAudio).union(oracleSubstring).distinct().cache()
 
   lazy val predicted = Dedup.run(spark, clips, cfg).cache()
 

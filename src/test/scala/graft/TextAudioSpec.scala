@@ -54,6 +54,26 @@ class TextAudioSpec extends AnyFunSuite {
     assert(a >= 0 && a < (1L << 61) - 1)
   }
 
+  test("winnowing: substring guarantee, determinism, density") {
+    val rnd = new scala.util.Random(99)
+    def randText(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    for (_ <- 1 to 20) {
+      val host = randText(300)
+      val from = rnd.nextInt(150)
+      val sub = host.substring(from, from + 47 + rnd.nextInt(100)) // >= w+k-1 = 47
+      val other = randText(80) + sub + randText(90)
+      val fa = Text.winnowHashes(sub, 16, 32).toSet
+      val fb = Text.winnowHashes(other, 16, 32).toSet
+      assert(fa.subsetOf(fb), "winnow guarantee violated: contained text's fingerprints must all appear")
+    }
+    val t = randText(500)
+    val w = Text.winnowHashes(t, 16, 32)
+    assert(w.toSeq == Text.winnowHashes(t, 16, 32).toSeq)
+    // density ~ 2/(window+1) of positions
+    assert(w.length > 500 / 40 && w.length < 500 / 8, s"density off: ${w.length}")
+    assert(Text.isSubstring("bc", "abcd") && !Text.isSubstring("xy", "abcd"))
+  }
+
   test("pcm s16le: encode/decode round trip within quantization error") {
     val samples = Array.tabulate(1000)(i => math.sin(i * 0.05) * 0.9)
     val decoded = Pcm.decodePcmS16le(Pcm.encodePcmS16le(samples))
