@@ -63,6 +63,11 @@ object ScalingBench {
     def runAt(cpus: Int): (Double, Long) = {
       val spark = Bench.makeSession(cpus.toString)
       try {
+        // JIT/codegen warmup: a small full-pipeline pass, unmeasured —
+        // without it the first session measured pathologically slow and
+        // the 8->32 comparison was meaningless (observed 8.5x "speedup")
+        val warm = graft.gen.ClipGen.generate(spark, 2000, seed = 7L, numPartitions = 16)._1.toDF()
+        graft.pipeline.Dedup.run(spark, warm, graft.pipeline.DedupConfig()).count()
         val clips = graft.gen.ClipGen.generate(spark, nClips, seed = 42L, numPartitions = 64)._1.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = clips.count() // materialize input outside the timed window

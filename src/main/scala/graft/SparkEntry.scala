@@ -188,7 +188,7 @@ object SparkEntry {
       // S-curve demands; the pipeline default is tuned for tau=0.8)
       val cfg = DedupConfig(tau = 0.5, bands = 64, rowsPerBand = 2)
       val sigs = docs.select(col("clip_id"),
-        minhash_text(col("transcript"), lit(cfg.shingleK), lit(cfg.numPerms)).as("minhash"))
+        minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"))
       val cands = Dedup.textCandidates(sigs, cfg)
       val withText = cands
         .join(docs.select(col("clip_id").as("a"), col("transcript").as("ta")), "a")

@@ -60,7 +60,16 @@ package object functions {
   val shingle_hashes = udf((text: String, k: Int) =>
     if (text == null) Array.emptyLongArray else Text.shingleHashes(text, k))
 
-  val minhash_text = udf((text: String, k: Int, numPerms: Int) =>
+  /** Native codegen expression (no UDF boundary): text -> minhash
+    * signature in one whole-stage-codegen pass. The lit()-style k/perms
+    * arguments are compile-time ints baked into the generated code. */
+  def minhash_text(c: Column, k: Int, numPerms: Int): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.catalyst.MinHashTextExpr(bridge.expression(c), k, numPerms))
+  }
+
+  /** UDF form of minhash_text (for SQL registration / dynamic args). */
+  val minhash_text_udf = udf((text: String, k: Int, numPerms: Int) =>
     if (text == null) Array.emptyLongArray
     else new MinHasher(numPerms).signature(Text.shingleHashes(text, k)))
 

@@ -55,7 +55,7 @@ object Dedup {
   def signatures(clips: DataFrame, cfg: DedupConfig): DataFrame =
     clips.select(
       col("clip_id"),
-      minhash_text(col("transcript"), lit(cfg.shingleK), lit(cfg.numPerms)).as("minhash"),
+      minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"),
       simhash_text(col("transcript")).as("simhash"),
       minhash_of_hashes(
         audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")), lit(cfg.numPerms)

@@ -15,8 +15,12 @@ object Text {
   /** Distinct character k-gram hashes of a string (the MinHash input set).
     * Single pass over the UTF-8 bytes; a text shorter than k yields one
     * whole-text shingle so no document has an empty set. */
-  def shingleHashes(text: String, k: Int): Array[Long] = {
-    val bytes = text.getBytes(StandardCharsets.UTF_8)
+  def shingleHashes(text: String, k: Int): Array[Long] =
+    shingleHashesBytes(text.getBytes(StandardCharsets.UTF_8), k)
+
+  /** Byte-level entry point (shared with the codegen Expression, which
+    * hands us UTF8String bytes without materializing a String). */
+  def shingleHashesBytes(bytes: Array[Byte], k: Int): Array[Long] = {
     if (bytes.length <= k) return Array(Murmur3x64.hash64(bytes, Murmur3x64.DefaultSeed))
     val n = bytes.length - k + 1
     val set = new java.util.HashSet[java.lang.Long](n * 2)
