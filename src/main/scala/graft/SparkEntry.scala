@@ -117,6 +117,20 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q_keyval_split" -> ((s, dir) => {
+      // P1 (SURVEY §2.2): line = key ' ' value, split on the FIRST space —
+      // the reference --key line format (src/counters.rs:60-66) — then
+      // keyed distinct-count over the reconstructed lines
+      val lines = tbl(s, dir, "events")
+        .select(concat(col("event_type"), lit(" "), col("user_id"), lit(":"), col("event_id")).as("line"))
+      lines
+        .select(substring_index(col("line"), " ", 1).as("key"),
+          expr("substring(line, length(substring_index(line, ' ', 1)) + 2)").as("value"))
+        .groupBy(col("key"))
+        .agg(kmv_est(col("value"), K).as("dv"))
+        .orderBy(col("key"))
+    }),
+
     // --- dedup / text analysis over documents ------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       // exact dedup: canonical id = min doc_id among byte-identical texts
@@ -294,6 +308,14 @@ object SparkEntry {
         |FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
         |JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - 27 AND d.day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_keyval_split" ->
+      """WITH lines AS (
+        |  SELECT event_type || ' ' || user_id || ':' || event_id AS line FROM events
+        |)
+        |SELECT split_part(line, ' ', 1) AS key,
+        |  CAST(count(DISTINCT substring(line, length(split_part(line, ' ', 1)) + 2)) AS DOUBLE) AS dv
+        |FROM lines GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canon_id

@@ -30,7 +30,8 @@ final case class DedupConfig(
     audioTau: Double = 0.35,    // frame-set Jaccard threshold (robust fp)
     winnowK: Int = 16,          // winnowing k-gram size (substring pass)
     winnowWindow: Int = 32,     // guarantee: shared substrings >= 47 chars collide
-    hotBucketLimit: Int = 64    // band buckets larger than this use star pairing
+    hotBucketLimit: Int = 64,   // buckets larger than this stop all-pairs
+    saltMaxBucket: Int = 1024   // buckets larger than this get star-only
 )
 
 /** The pipeline. Every stage is a pure DataFrame -> DataFrame map or a
@@ -74,7 +75,7 @@ object Dedup {
     * splitting the north rule asks for. collect_list per bucket is safe
     * BECAUSE hot buckets are star-capped: task memory is O(bucket), and a
     * bucket is one LSH band collision group, not a data partition. */
-  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int): DataFrame = {
+  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
     // bucket sizes via partial-agg groupBy; singleton buckets (the vast
     // majority of LSH buckets) never survive the inner join
     val sizes = buckets.groupBy(col("source"), col("bucket"))
@@ -99,17 +100,39 @@ object Dedup {
       .agg(collect_list(col("clip_id")).as("members"))
       .select(col("source"), explode(allPairs(col("members"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("b"), col("source"))
-    // hot buckets (exact-dup masses, hot shingles): STAR around the min
-    // member — O(n) edges, identical connected components, and pure
-    // partial-agg + streaming hash join, so no task ever materializes the
-    // bucket (the skew-aware splitting of the north rule)
+    // hot buckets (exact-dup masses, hot shingles, shared phrases): the
+    // north rule's skew-aware band-bucket splitting, two complementary
+    // moves, both linear in bucket size:
+    //  1. STAR around the min member — O(n) edges, preserves the
+    //     connected component when the bucket is a homogeneous dup mass
+    //     (the hub verifies against every member);
+    //  2. SALTED SUB-BUCKETS — members re-bucketed by hash(clip_id) into
+    //     ceil(bsize/limit) salt groups, all-pairs within each group.
+    //     This keeps local pair evidence in MIXED hot buckets (a shared
+    //     phrase pulling unrelated docs together), where a star hub would
+    //     fail verification and drop true pairs. A true pair colliding in
+    //     k hot buckets co-salts in >=1 with p = 1-(1-1/s)^k.
+    // Both are partial-agg + streaming join / bounded collect_list: no
+    // task ever materializes a whole hot bucket.
     val hot = sized.where(col("bsize") > hotBucketLimit)
-      .select(col("source"), col("bucket"), col("clip_id"))
+      .select(col("source"), col("bucket"), col("clip_id"), col("bsize"))
     val hubs = hot.groupBy(col("source"), col("bucket")).agg(min(col("clip_id")).as("a"))
-    val hotPairs = hot.join(hubs, Seq("source", "bucket"))
+    val starPairs = hot.join(hubs, Seq("source", "bucket"))
       .where(col("clip_id") =!= col("a"))
       .select(col("a"), col("clip_id").as("b"), col("source"))
-    smallPairs.union(hotPairs)
+    // IDF-like cutoff: a bucket shared by thousands of members carries no
+    // pairwise evidence (P(dup | shared stopword-phrase) ~ 0) — salting it
+    // would emit bsize*limit/2 junk pairs per bucket. Star-only beyond
+    // saltMaxBucket; true dup masses that big are linked by their hub.
+    val salted = hot.where(col("bsize") <= saltMaxBucket).withColumn("salt",
+      pmod(xxhash64(col("clip_id")), ceil(col("bsize") / hotBucketLimit).cast("long")))
+    val saltPairs = salted
+      .groupBy(col("source"), col("bucket"), col("salt"))
+      .agg(collect_list(col("clip_id")).as("members"))
+      .where(size(col("members")) >= 2)
+      .select(col("source"), explode(allPairs(col("members"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"), col("source"))
+    smallPairs.union(starPairs).union(saltPairs)
   }
 
   /** Stage 2 bucket builders: each maps the persisted signature table to
@@ -185,8 +208,8 @@ object Dedup {
       .unionByName(audioBuckets(sigs, cfg))
       .unionByName(containmentBuckets(sigs, cfg))
       .unionByName(substringBuckets(sigs, cfg))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairsFromBuckets(buckets, cfg.hotBucketLimit)
+      .localCheckpoint(true) // materialize once; GC-cleanable, lineage cut
+    pairsFromBuckets(buckets, cfg.hotBucketLimit, cfg.saltMaxBucket)
       .groupBy(col("a"), col("b"))
       .agg(collect_set(col("source")).as("sources"))
   }
@@ -204,7 +227,7 @@ object Dedup {
       col("clip_id"), col("transcript"),
       shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"),
       audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")).as("afp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val withA = cands.join(payload.select(col("clip_id").as("a"),
       col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
     val withB = withA.join(payload.select(col("clip_id").as("b"),
@@ -234,8 +257,7 @@ object Dedup {
   def clusters(spark: SparkSession, clips: DataFrame, edges: DataFrame): DataFrame = {
     // verified edges are consumed twice inside CC (vertex dictionary +
     // edge relabeling): persist so verification runs once
-    val e = edges.select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
     val cc = ConnectedComponents.runOnStrings(spark, e, "a", "b")
     clips.select(col("clip_id"))
       .join(cc, Seq("clip_id"), "left")
@@ -249,17 +271,10 @@ object Dedup {
     // map pass (incl. audio decode + fingerprint) runs once. In the
     // checkpointed variant this is a table write instead (SURVEY §3.4:
     // explicit materialization barrier = the --raw/--merge seam).
-    val sigs = signatures(clips, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cands = candidates(sigs, cfg)
-      val edges = verify(clips, cands, cfg)
-      clusters(spark, clips, edges)
-    } finally {
-      // lazily unpersisted: the returned plan may still reference sigs;
-      // blocking=false defers actual eviction to job end
-      sigs.unpersist(false)
-    }
+    val sigs = signatures(clips, cfg).localCheckpoint(true)
+    val cands = candidates(sigs, cfg)
+    val edges = verify(clips, cands, cfg)
+    clusters(spark, clips, edges)
   }
 
   /** Resumable variant: every stage is committed to a checkpoint table
