@@ -32,8 +32,12 @@ final case class Clip(
 object ClipGen {
 
   private val Vocab: Array[String] = {
-    // seeded synthetic vocabulary, ~512 "words"
-    (0 until 512).map { i =>
+    // seeded synthetic vocabulary. Size matters: at 512 words, random
+    // 40-word transcripts across 50k clips shared so many 2-3 word
+    // phrases that winnow/containment buckets filled with cross-doc
+    // junk and the verify join became shuffle-bound. 8192 words gives
+    // phrase-collision rates closer to real speech transcripts.
+    (0 until 8192).map { i =>
       val len = 3 + (Murmur3x64.mix64(i.toLong + 7) & 5).toInt
       val s = new StringBuilder
       var st = Murmur3x64.mix64(0xC0FFEEL + i)

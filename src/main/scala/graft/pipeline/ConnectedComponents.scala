@@ -31,7 +31,7 @@ object ConnectedComponents {
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     var converged = false
     var iter = 0
@@ -61,7 +61,7 @@ object ConnectedComponents {
         .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
         .distinct()
 
-      val next = small.localCheckpoint(true)
+      val next = small.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val sig = signature(next)
       converged = sig == prevSig
       prevSig = sig
@@ -99,7 +99,7 @@ object ConnectedComponents {
       .union(edges.select(col(bCol).as("id")))
       .distinct()
       .withColumn("nid", xxhash64($"id"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // collision guard: xxhash64 must be injective over the observed ids
     val dup = verts.groupBy($"nid").count().where($"count" > 1).limit(1).count()
     require(dup == 0, "xxhash64 collision in vertex dictionary; rerun with salted ids")

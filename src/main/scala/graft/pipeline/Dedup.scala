@@ -25,8 +25,11 @@ final case class DedupConfig(
     containmentTau: Double = 0.9, // substring-containment verify threshold
     simhashChunks: Int = 4,     // 16-bit blocks -> catches Hamming <= 3
     simhashMaxHamming: Int = 3,
-    audioBands: Int = 64,
-    audioRowsPerBand: Int = 2,  // loose bands: p>=0.9998 at the audioTau boundary
+    audioBands: Int = 42,
+    audioRowsPerBand: Int = 3,  // r=2 produced ~1M birthday-junk pairs at 50k
+                                // clips (cross-clip frame jaccard ~0.004 x 64
+                                // bands); r=3 keeps p=0.96 at j=0.42 (worst
+                                // observed planted dup) with junk ~ 0
     audioTau: Double = 0.35,    // frame-set Jaccard threshold (robust fp)
     winnowK: Int = 16,          // winnowing k-gram size (substring pass)
     winnowWindow: Int = 32,     // guarantee: shared substrings >= 47 chars collide
@@ -208,7 +211,7 @@ object Dedup {
       .unionByName(audioBuckets(sigs, cfg))
       .unionByName(containmentBuckets(sigs, cfg))
       .unionByName(substringBuckets(sigs, cfg))
-      .localCheckpoint(true) // materialize once; GC-cleanable, lineage cut
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // materialize once; GC-cleanable, lineage cut
     pairsFromBuckets(buckets, cfg.hotBucketLimit, cfg.saltMaxBucket)
       .groupBy(col("a"), col("b"))
       .agg(collect_set(col("source")).as("sources"))
@@ -227,7 +230,7 @@ object Dedup {
       col("clip_id"), col("transcript"),
       shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"),
       audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")).as("afp"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val withA = cands.join(payload.select(col("clip_id").as("a"),
       col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
     val withB = withA.join(payload.select(col("clip_id").as("b"),
@@ -257,7 +260,7 @@ object Dedup {
   def clusters(spark: SparkSession, clips: DataFrame, edges: DataFrame): DataFrame = {
     // verified edges are consumed twice inside CC (vertex dictionary +
     // edge relabeling): persist so verification runs once
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true)
+    val e = edges.select(col("a"), col("b")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cc = ConnectedComponents.runOnStrings(spark, e, "a", "b")
     clips.select(col("clip_id"))
       .join(cc, Seq("clip_id"), "left")
@@ -271,7 +274,7 @@ object Dedup {
     // map pass (incl. audio decode + fingerprint) runs once. In the
     // checkpointed variant this is a table write instead (SURVEY §3.4:
     // explicit materialization barrier = the --raw/--merge seam).
-    val sigs = signatures(clips, cfg).localCheckpoint(true)
+    val sigs = signatures(clips, cfg).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cands = candidates(sigs, cfg)
     val edges = verify(clips, cands, cfg)
     clusters(spark, clips, edges)
