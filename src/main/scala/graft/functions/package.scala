@@ -53,6 +53,26 @@ package object functions {
   def freq_items_lg(col: Column, k: Int, lgMaxK: Int): Column =
     udaf(new FreqItemsLgAgg(k, lgMaxK)).apply(col)
 
+  /** Weighted heavy hitters: each row contributes `weight` occurrences
+    * (reference HhSketch::update(bytes, weight), hh.rs:127-151). */
+  def freq_items_weighted(col: Column, weight: Column, k: Int): Column =
+    udaf(new FreqItemsWeightedAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong)).apply(col, weight)
+
+  /** No-false-positives heavy hitters (lb-based view, hh.rs:153-165). */
+  def freq_items_no_fp(col: Column, k: Int): Column =
+    udaf(new FreqItemsNoFpAgg(k)).apply(col)
+
+  // ---- text boundary for sketches (reference counters.rs:28-39 uses
+  // base64 STANDARD_NO_PAD for sketch payloads on stdout/stdin) ----------
+  val sketch_to_b64 = udf((b: Array[Byte]) =>
+    if (b == null) null else java.util.Base64.getEncoder.withoutPadding.encodeToString(b))
+
+  val sketch_from_b64 = udf((s: String) =>
+    if (s == null) null else java.util.Base64.getDecoder.decode(s))
+
   // ---- minhash / simhash / shingling ---------------------------------------
   def minhash_sig_agg(shingleHashCol: Column, numPerms: Int): Column =
     udaf(new MinHashSigAgg(numPerms)).apply(shingleHashCol)
@@ -76,8 +96,10 @@ package object functions {
   val minhash_of_hashes = udf((hashes: Seq[Long], numPerms: Int) =>
     new MinHasher(numPerms).signature(hashes.toArray))
 
+  // null-tolerant: a null signature (null transcript upstream) yields no
+  // bands rather than an NPE in the candidate stage
   val band_hashes = udf((sig: Seq[Long], bands: Int, rowsPerBand: Int) =>
-    MinHasher.bandHashes(sig.toArray, bands, rowsPerBand))
+    if (sig == null) Array.emptyLongArray else MinHasher.bandHashes(sig.toArray, bands, rowsPerBand))
 
   val simhash_text = udf((text: String) =>
     if (text == null) 0L else SimHasher.simhash(Text.wordNgramHashes(text, 2)))

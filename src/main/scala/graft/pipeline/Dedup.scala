@@ -55,17 +55,32 @@ final case class DedupConfig(
 object Dedup {
 
   /** Stage 1: per-row signatures. clips(clip_id, bytes, sr_hz, dur_ms,
-    * codec, transcript) -> (clip_id, minhash, simhash, audio_minhash). */
-  def signatures(clips: DataFrame, cfg: DedupConfig): DataFrame =
+    * codec, transcript) -> (clip_id, minhash, simhash, audio_minhash).
+    * Null transcripts are treated as empty so one bad row cannot kill a
+    * 100TB candidate stage. */
+  def signatures(clips: DataFrame, cfg: DedupConfig): DataFrame = {
+    val t = coalesce(col("transcript"), lit(""))
     clips.select(
       col("clip_id"),
-      minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"),
-      simhash_text(col("transcript")).as("simhash"),
+      minhash_text(t, cfg.shingleK, cfg.numPerms).as("minhash"),
+      simhash_text(t).as("simhash"),
       minhash_of_hashes(
         audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")), lit(cfg.numPerms)
       ).as("audio_minhash"),
-      winnow_hashes(col("transcript"), lit(cfg.winnowK), lit(cfg.winnowWindow)).as("winnow"),
-      length(col("transcript")).as("t_len"))
+      winnow_hashes(t, lit(cfg.winnowK), lit(cfg.winnowWindow)).as("winnow"),
+      length(t).as("t_len"))
+  }
+
+  /** Materialization barrier for multi-consumer intermediates. With a
+    * checkpoint directory configured on the SparkContext this is a
+    * RELIABLE checkpoint (blocks on the shared filesystem — an executor
+    * loss cannot kill the run, the 100TB default); without one it falls
+    * back to executor-local blocks (fast, test/sandbox mode). */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Generic LSH bucket -> candidate pair stage with skew-aware splitting.
     * input: (clip_id, bucket LONG, source); output: (a, b, source), a < b.
@@ -197,9 +212,11 @@ object Dedup {
         xxhash64(lit("winnow"), col("fp")).as("bucket"),
         lit("substring").as("source"))
 
-  /** Back-compat single-source candidate helpers (tests / SparkEntry). */
+  /** Back-compat single-source candidate helpers (tests / SparkEntry).
+    * A pair colliding in k bands would otherwise be emitted k times;
+    * distinct() keeps each candidate once. */
   def textCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
-    pairsFromBuckets(textBuckets(sigs, cfg), cfg.hotBucketLimit)
+    pairsFromBuckets(textBuckets(sigs, cfg), cfg.hotBucketLimit).distinct()
 
   def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     // the bucket fan-out is consumed three times downstream (size agg,
@@ -211,8 +228,8 @@ object Dedup {
       .unionByName(audioBuckets(sigs, cfg))
       .unionByName(containmentBuckets(sigs, cfg))
       .unionByName(substringBuckets(sigs, cfg))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER) // materialize once; GC-cleanable, lineage cut
-    pairsFromBuckets(buckets, cfg.hotBucketLimit, cfg.saltMaxBucket)
+    val bucketsM = materialize(buckets) // materialize once: 3 consumers
+    pairsFromBuckets(bucketsM, cfg.hotBucketLimit, cfg.saltMaxBucket)
       .groupBy(col("a"), col("b"))
       .agg(collect_set(col("source")).as("sources"))
   }
@@ -226,18 +243,22 @@ object Dedup {
     // not once per candidate pair: a clip in k pairs would otherwise be
     // re-shingled k times (measured 2.7ms/pair in per-pair UDF form; the
     // array_intersect form is codegen'd and ~50x cheaper)
+    // same null-as-empty normalization as signatures(): an empty text has
+    // ONE whole-text shingle, so the set sizes below are never zero
     val payload = clips.select(
-      col("clip_id"), col("transcript"),
-      shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"),
+      col("clip_id"), coalesce(col("transcript"), lit("")).as("transcript"),
+      shingle_hashes(coalesce(col("transcript"), lit("")), lit(cfg.shingleK)).as("sh"),
       audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")).as("afp"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val withA = cands.join(payload.select(col("clip_id").as("a"),
+    val payloadM = materialize(payload)
+    val withA = cands.join(payloadM.select(col("clip_id").as("a"),
       col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
-    val withB = withA.join(payload.select(col("clip_id").as("b"),
+    val withB = withA.join(payloadM.select(col("clip_id").as("b"),
       col("transcript").as("text_b"), col("sh").as("sh_b"), col("afp").as("afp_b")), "b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val jac = inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
-    val cont = inter / least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+    // try_divide: ANSI-safe even if an upstream source hands us genuinely
+    // empty shingle arrays (a null pair then scores null -> filtered out)
+    val jac = try_divide(inter, size(col("sh_a")) + size(col("sh_b")) - inter)
+    val cont = try_divide(inter, least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
     val audioJac = array_jaccard(col("afp_a"), col("afp_b"))
     withB
       .withColumn("jaccard", jac)
@@ -260,7 +281,7 @@ object Dedup {
   def clusters(spark: SparkSession, clips: DataFrame, edges: DataFrame): DataFrame = {
     // verified edges are consumed twice inside CC (vertex dictionary +
     // edge relabeling): persist so verification runs once
-    val e = edges.select(col("a"), col("b")).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val e = materialize(edges.select(col("a"), col("b")))
     val cc = ConnectedComponents.runOnStrings(spark, e, "a", "b")
     clips.select(col("clip_id"))
       .join(cc, Seq("clip_id"), "left")
@@ -274,7 +295,7 @@ object Dedup {
     // map pass (incl. audio decode + fingerprint) runs once. In the
     // checkpointed variant this is a table write instead (SURVEY §3.4:
     // explicit materialization barrier = the --raw/--merge seam).
-    val sigs = signatures(clips, cfg).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sigs = materialize(signatures(clips, cfg))
     val cands = candidates(sigs, cfg)
     val edges = verify(clips, cands, cfg)
     clusters(spark, clips, edges)

@@ -70,13 +70,24 @@ final class FreqSketch(val lgMaxK: Int) extends Serializable {
 
   /** Rows (item, est=ub, lb, ub) sorted by ub desc then item asc
     * (deterministic tie-break; reference sorts by ub desc,
-    * src/counters.rs:188-195). */
+    * src/counters.rs:188-195). This is the NO-FALSE-NEGATIVES view: every
+    * item whose true count exceeds the error bound is present. */
   def rows: Seq[(String, Long, Long, Long)] =
     counts.toSeq
       .map { case (item, c) => (item, c + offset, c, c + offset) }
       .sortBy { case (item, _, _, ub) => (-ub, item) }
 
+  /** NO-FALSE-POSITIVES view (reference `estimate_no_fp`,
+    * /root/reference/src/wrapper/hh.rs:153-165): only items whose LOWER
+    * bound exceeds the maximum error (= purge offset) are reported, so
+    * every reported item is a true frequent item. A subset of `rows`;
+    * identical to it while the sketch is exact (offset == 0). */
+  def rowsNoFp: Seq[(String, Long, Long, Long)] =
+    rows.filter { case (_, _, lb, _) => lb > offset }
+
   def topK(k: Int): Seq[(String, Long, Long, Long)] = rows.take(k)
+
+  def topKNoFp(k: Int): Seq[(String, Long, Long, Long)] = rowsNoFp.take(k)
 
   def serialize(): Array[Byte] = {
     val items = counts.toArray

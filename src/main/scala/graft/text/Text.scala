@@ -198,23 +198,34 @@ object Text {
     "fr" -> Set("le", "la", "les", "et", "est", "une", "des", "que", "pour", "dans"),
     "es" -> Set("el", "la", "los", "las", "es", "una", "que", "por", "para", "con"))
 
-  /** Returns (lang, confidence in [0,1]). CJK detection by codepoint class;
-    * otherwise argmax marker-word hit rate with deterministic tie-break
+  /** Returns (lang, confidence in [0,1]). CJK detection by codepoint
+    * script, split by dominant script — Hangul means Korean, any
+    * meaningful kana share means Japanese (Japanese prose interleaves
+    * kanji with kana; Chinese has none), Han alone means Chinese.
+    * Otherwise argmax marker-word hit rate with deterministic tie-break
     * (alphabetical), defaulting to "en" when nothing matches. */
   def langId(text: String): (String, Double) = {
-    var cjk = 0; var total = 0
+    var han = 0; var kana = 0; var hangul = 0; var total = 0
     var i = 0
     while (i < text.length) {
       val c = text.codePointAt(i)
       if (!Character.isWhitespace(c)) {
         total += 1
         val block = Character.UnicodeScript.of(c)
-        if (block == Character.UnicodeScript.HAN || block == Character.UnicodeScript.HIRAGANA ||
-            block == Character.UnicodeScript.KATAKANA || block == Character.UnicodeScript.HANGUL) cjk += 1
+        if (block == Character.UnicodeScript.HAN) han += 1
+        else if (block == Character.UnicodeScript.HIRAGANA ||
+          block == Character.UnicodeScript.KATAKANA) kana += 1
+        else if (block == Character.UnicodeScript.HANGUL) hangul += 1
       }
       i += Character.charCount(c)
     }
-    if (total > 0 && cjk.toDouble / total > 0.25) return ("zh", cjk.toDouble / total)
+    val cjk = han + kana + hangul
+    if (total > 0 && cjk.toDouble / total > 0.25) {
+      val conf = cjk.toDouble / total
+      if (hangul * 2 >= cjk) return ("ko", conf)
+      if (kana * 10 >= cjk) return ("ja", conf) // >=10% kana among CJK chars
+      return ("zh", conf)
+    }
     val ts = tokens(text.toLowerCase)
     if (ts.isEmpty) return ("en", 0.0)
     val scores = LangMarkers.map { case (lang, set) => (lang, ts.count(set.contains).toDouble / ts.length) }
