@@ -106,6 +106,8 @@ package object functions {
 
   val simhash_buckets = udf((sim: Long, chunks: Int) => SimHasher.bucketKeys(sim, chunks))
 
+  val simhash_combo_buckets = udf((sim: Long) => SimHasher.comboBucketKeys(sim))
+
   val hamming = udf((a: Long, b: Long) => SimHasher.hammingDistance(a, b))
 
   val exact_jaccard = udf((a: String, b: String, k: Int) => Text.exactJaccard(a, b, k))

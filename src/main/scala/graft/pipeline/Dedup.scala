@@ -23,8 +23,9 @@ final case class DedupConfig(
     rowsPerBand: Int = 4,
     tau: Double = 0.8,          // exact-Jaccard verify threshold
     containmentTau: Double = 0.9, // substring-containment verify threshold
-    simhashChunks: Int = 4,     // 16-bit blocks -> catches Hamming <= 3
-    simhashMaxHamming: Int = 3,
+    simhashChunks: Int = 4,     // legacy single-chunk scheme (simhash_buckets);
+                                // the pipeline uses 2-of-6 block combos
+    simhashMaxHamming: Int = 4, // combo pigeonhole guarantee
     audioBands: Int = 42,
     audioRowsPerBand: Int = 3,  // r=2 produced ~1M birthday-junk pairs at 50k
                                 // clips (cross-clip frame jaccard ~0.004 x 64
@@ -93,15 +94,54 @@ object Dedup {
     * splitting the north rule asks for. collect_list per bucket is safe
     * BECAUSE hot buckets are star-capped: task memory is O(bucket), and a
     * bucket is one LSH band collision group, not a data partition. */
+  /** Join-spreading factor for hot-bucket joins: a hot bucket's rows land
+    * on JoinSalts shuffle partitions instead of one (the small side is
+    * replicated JoinSalts times, and only for hot buckets). */
+  final val JoinSalts = 16
+
   def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
     // bucket sizes via partial-agg groupBy; singleton buckets (the vast
-    // majority of LSH buckets) never survive the inner join
-    val sizes = buckets.groupBy(col("source"), col("bucket"))
-      .agg(count(lit(1)).as("bsize"))
-      .where(col("bsize") >= 2)
-    val sized = buckets.join(sizes, Seq("source", "bucket"))
-    // small buckets: collect_list is bounded by hotBucketLimit -> safe,
-    // and one groupBy replaces a self-join
+    // majority of LSH buckets) never survive the inner join. Materialized:
+    // consumed by both the small- and hot-bucket branches, and it is tiny
+    // (one row per non-singleton bucket).
+    val sizes = materialize(
+      buckets.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("bsize"))
+        .where(col("bsize") >= 2))
+    // EVERY join below is skew-free by construction — this matters more
+    // than anything else for scaling, because one hot bucket (an exact-dup
+    // mass, a hot shingle) otherwise lands on ONE shuffle partition and
+    // serializes the stage (measured: 2 straggler jobs were most of the
+    // candidate stage's wall time):
+    //  - small buckets (<= hotBucketLimit rows per key) join unsalted;
+    //  - hot buckets join through a JoinSalts-salted key: the row side
+    //    salts by hash(clip_id), the size/hub side (one row per HOT bucket
+    //    — few by definition) is replicated JoinSalts times.
+    val sizesSmall = sizes.where(col("bsize") <= hotBucketLimit)
+    val sizesHot = sizes.where(col("bsize") > hotBucketLimit)
+    val saltsCol = explode(sequence(lit(0), lit(JoinSalts - 1))).as("jsalt")
+    val jsaltOf = pmod(xxhash64(col("clip_id")), lit(JoinSalts)).cast("int")
+    val hotB = buckets.withColumn("jsalt", jsaltOf)
+      .join(sizesHot.select(col("source"), col("bucket"), col("bsize"), saltsCol),
+        Seq("source", "bucket", "jsalt"))
+    // skew-aware band-bucket splitting (north rule), two complementary
+    // moves, both linear in bucket size:
+    //  1. ALL-PAIRS within small buckets and within SALTED SUB-BUCKETS of
+    //     hot ones — members re-bucketed by hash(clip_id) into
+    //     ceil(bsize/limit) salt groups, all-pairs within each group, so
+    //     collect_list stays bounded by ~hotBucketLimit. Sub-buckets keep
+    //     local pair evidence in MIXED hot buckets (a shared phrase
+    //     pulling unrelated docs together), where a star hub would fail
+    //     verification and drop true pairs. A true pair colliding in k
+    //     hot buckets co-salts in >=1 with p = 1-(1-1/s)^k.
+    //  2. STAR around the min member for buckets OVER the limit — O(n)
+    //     edges, preserves the connected component when the bucket is a
+    //     homogeneous dup mass (the hub verifies against every member).
+    // IDF-like cutoff: a bucket beyond saltMaxBucket carries no pairwise
+    // evidence (P(dup | shared stopword-phrase) ~ 0) — salting it would
+    // emit bsize*limit/2 junk pairs per bucket, so it is star-only.
+    // groupBys are partial-aggregated or bounded-collect_list: no task
+    // ever materializes a whole hot bucket.
     val allPairs = udf { (members: Seq[String]) =>
       val m = members.sorted
       val out = Seq.newBuilder[(String, String)]
@@ -113,44 +153,37 @@ object Dedup {
       }
       out.result()
     }
-    val smallPairs = sized.where(col("bsize") <= hotBucketLimit)
+    // pair generation is OUTPUT-heavy (quadratic in group size) while its
+    // shuffle INPUT is tiny, so AQE's bytes-based coalescing would shrink
+    // these aggregations to one task and serialize the stage (measured:
+    // two 1-task stages were ~half the candidate wall time). An explicit
+    // fixed-width repartition on the group key pins the fan-out.
+    val shufN = buckets.sparkSession.sessionState.conf.numShufflePartitions
+    val smallPairs = buckets.join(sizesSmall.select(col("source"), col("bucket")), Seq("source", "bucket"))
+      .repartition(shufN, col("source"), col("bucket"))
       .groupBy(col("source"), col("bucket"))
       .agg(collect_list(col("clip_id")).as("members"))
       .select(col("source"), explode(allPairs(col("members"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("b"), col("source"))
-    // hot buckets (exact-dup masses, hot shingles, shared phrases): the
-    // north rule's skew-aware band-bucket splitting, two complementary
-    // moves, both linear in bucket size:
-    //  1. STAR around the min member — O(n) edges, preserves the
-    //     connected component when the bucket is a homogeneous dup mass
-    //     (the hub verifies against every member);
-    //  2. SALTED SUB-BUCKETS — members re-bucketed by hash(clip_id) into
-    //     ceil(bsize/limit) salt groups, all-pairs within each group.
-    //     This keeps local pair evidence in MIXED hot buckets (a shared
-    //     phrase pulling unrelated docs together), where a star hub would
-    //     fail verification and drop true pairs. A true pair colliding in
-    //     k hot buckets co-salts in >=1 with p = 1-(1-1/s)^k.
-    // Both are partial-agg + streaming join / bounded collect_list: no
-    // task ever materializes a whole hot bucket.
-    val hot = sized.where(col("bsize") > hotBucketLimit)
-      .select(col("source"), col("bucket"), col("clip_id"), col("bsize"))
-    val hubs = hot.groupBy(col("source"), col("bucket")).agg(min(col("clip_id")).as("a"))
-    val starPairs = hot.join(hubs, Seq("source", "bucket"))
-      .where(col("clip_id") =!= col("a"))
-      .select(col("a"), col("clip_id").as("b"), col("source"))
-    // IDF-like cutoff: a bucket shared by thousands of members carries no
-    // pairwise evidence (P(dup | shared stopword-phrase) ~ 0) — salting it
-    // would emit bsize*limit/2 junk pairs per bucket. Star-only beyond
-    // saltMaxBucket; true dup masses that big are linked by their hub.
-    val salted = hot.where(col("bsize") <= saltMaxBucket).withColumn("salt",
-      pmod(xxhash64(col("clip_id")), ceil(col("bsize") / hotBucketLimit).cast("long")))
-    val saltPairs = salted
+    val subPairs = hotB.where(col("bsize") <= saltMaxBucket)
+      .withColumn("salt",
+        pmod(xxhash64(col("clip_id")), ceil(col("bsize") / hotBucketLimit).cast("long")))
+      .repartition(shufN, col("source"), col("bucket"), col("salt"))
       .groupBy(col("source"), col("bucket"), col("salt"))
       .agg(collect_list(col("clip_id")).as("members"))
       .where(size(col("members")) >= 2)
       .select(col("source"), explode(allPairs(col("members"))).as("p"))
       .select(col("p._1").as("a"), col("p._2").as("b"), col("source"))
-    smallPairs.union(starPairs).union(saltPairs)
+    // hubs: partial-agg min per hot bucket (map-side combine leaves one
+    // row per key per partition — no reducer skew), then a salted join
+    // back against the hot fan-out
+    val hubs = hotB.groupBy(col("source"), col("bucket")).agg(min(col("clip_id")).as("a"))
+    val starPairs = hotB
+      .join(hubs.select(col("source"), col("bucket"), col("a"), saltsCol),
+        Seq("source", "bucket", "jsalt"))
+      .where(col("clip_id") =!= col("a"))
+      .select(col("a"), col("clip_id").as("b"), col("source"))
+    smallPairs.union(subPairs).union(starPairs)
   }
 
   /** Stage 2 bucket builders: each maps the persisted signature table to
@@ -168,13 +201,16 @@ object Dedup {
         xxhash64(col("band_id"), col("band_hash")).as("bucket"),
         lit("minhash").as("source"))
 
-  /** 2b: SimHash Hamming-chunk buckets (pigeonhole: any pair within
-    * Hamming distance chunks-1 shares a chunk). Verify re-checks the
-    * full distance. */
+  /** 2b: SimHash block-combination buckets (2-of-6 blocks; pigeonhole
+    * catches any pair within Hamming distance 4). The earlier 4x16-bit
+    * single-chunk scheme produced junk candidates at p = 4*2^-16 per
+    * unrelated pair — junk is p*n^2/2, which measured QUADRATIC growth
+    * (866k pairs at 150k clips -> 3.27M at 300k) and would swamp verify
+    * at the 10^12 target; the combo keys cut p ~13x AND widen recall. */
   def simhashBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
     sigs.select(
       col("clip_id"),
-      explode(simhash_buckets(col("simhash"), lit(cfg.simhashChunks))).as("chunk"))
+      explode(simhash_combo_buckets(col("simhash"))).as("chunk"))
       .select(col("clip_id"),
         xxhash64(lit("simhash"), col("chunk")).as("bucket"),
         lit("simhash").as("source"))
@@ -223,10 +259,16 @@ object Dedup {
     // small-bucket pass, hot-bucket pass): persist so the five explode
     // pipelines over the signatures run once. In the checkpointed variant
     // this is a table write (the --raw seam); here it spills if needed.
+    // NOTE: containmentBuckets (b=8, r=2 loose minhash bands) is NOT in
+    // the default union: its junk-collision rate for unrelated docs is
+    // p = 8*J_rand^2, quadratic in corpus size (measured 759k pairs at
+    // 150k clips -> 2.03M at 300k), and every real containment pair it
+    // could find is already GUARANTEED a candidate by the winnowing
+    // substring pass (any contiguous shared span >= 47 chars). It stays
+    // available for corpora with non-contiguous containment.
     val buckets = textBuckets(sigs, cfg)
       .unionByName(simhashBuckets(sigs, cfg))
       .unionByName(audioBuckets(sigs, cfg))
-      .unionByName(containmentBuckets(sigs, cfg))
       .unionByName(substringBuckets(sigs, cfg))
     val bucketsM = materialize(buckets) // materialize once: 3 consumers
     pairsFromBuckets(bucketsM, cfg.hotBucketLimit, cfg.saltMaxBucket)
@@ -310,7 +352,11 @@ object Dedup {
   def runCheckpointed(spark: SparkSession, clips: DataFrame, cfg: DedupConfig,
       checkpointRoot: String): DataFrame = {
     val io = new graft.io.TableIO(spark, checkpointRoot)
-    val h = graft.io.TableIO.configHash(cfg)
+    // key = config hash + input fingerprint: a restarted run reuses
+    // snapshots only when BOTH the shingle/signature config and the input
+    // table are the ones the snapshot was computed from
+    val h = graft.io.TableIO.configHash(cfg) + "-" +
+      graft.io.TableIO.inputFingerprint(clips)
     val sigs = io.readOrCompute("signatures", h)(signatures(clips, cfg))
     val cands = io.readOrCompute("candidates", h)(candidates(sigs, cfg))
     val edges = io.readOrCompute("edges", h)(verify(clips, cands, cfg))

@@ -13,42 +13,96 @@ import org.apache.spark.sql.functions._
   * candidates come from an equi-join on (table, bucket) — at 10^12 rows
   * that join is shuffle-partitioned by bucket instead of comparing all
   * pairs, and table count / plane count trade recall for cost.
+  *
+  * Scale hygiene: ONE signature-UDF invocation per row emits the buckets
+  * for ALL tables (hyperplane signs precomputed once on the driver, not
+  * re-derived per row), candidate dedup happens on bare (qid, vec_id)
+  * ids BEFORE payloads are re-attached, and only the deduped candidate
+  * ids carry embedding vectors through a join.
   */
 object Ann {
 
   /** Deterministic ±1 hyperplane component for (table, plane, dim). */
-  @inline private def planeSign(table: Int, plane: Int, dim: Int): Double = {
+  @inline private def planeSign(table: Int, plane: Int, dim: Int): Float = {
     val h = Murmur3x64.mix64((table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong ^ 0x5EEDL)
-    if ((h & 1L) == 0L) 1.0 else -1.0
+    if ((h & 1L) == 0L) 1.0f else -1.0f
   }
 
-  /** Pack sign bits of `planes` random projections into one bucket int. */
-  private def sigBits(v: Seq[Float], table: Int, planes: Int): Int = {
-    var bits = 0
-    var p = 0
-    while (p < planes) {
-      var dot = 0.0
-      var d = 0
-      while (d < v.length) { dot += v(d) * planeSign(table, p, d); d += 1 }
-      if (dot > 0) bits |= (1 << p)
-      p += 1
+  /** Signs for all tables/planes over `dim` dims, laid out flat as
+    * [table][plane][dim] — computed once, captured by the signature UDF. */
+  private def signMatrix(tables: Int, planes: Int, dim: Int): Array[Float] = {
+    val m = new Array[Float](tables * planes * dim)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < planes) {
+        var d = 0
+        while (d < dim) {
+          m((t * planes + p) * dim + d) = planeSign(t, p, d)
+          d += 1
+        }
+        p += 1
+      }
+      t += 1
     }
-    bits
+    m
   }
 
   /** Top-k neighbors of query vectors (vec_id < 3, mirroring the brute
     * force baseline) from LSH buckets, exact-cosine reranked. */
   def lshTopK(spark: SparkSession, emb: DataFrame, kNeighbors: Int, planes: Int, tables: Int): DataFrame = {
-    val sig = udf((v: Seq[Float], t: Int) => sigBits(v, t, planes))
-    val tablesCol = explode(sequence(lit(0), lit(tables - 1))).as("t")
-    val bucketed = emb.select(col("vec_id"), col("embedding"), tablesCol)
-      .withColumn("bucket", sig(col("embedding"), col("t")))
+    // dimensionality probe: one tiny job; the sign matrix is built once on
+    // the driver and shipped in the UDF closure (tables*planes*dim floats)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val signs = signMatrix(tables, planes, dim)
+    val nPlanes = planes
+    val nTables = tables
+    // one UDF call per row -> bucket for every table (16x fewer invocations
+    // and boxed-Seq traversals than a per-(row,table) UDF)
+    val allSigs = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      val out = new Array[Int](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bits = 0
+        var p = 0
+        while (p < nPlanes) {
+          var dot = 0.0f
+          val base = (t * nPlanes + p) * a.length
+          var d = 0
+          while (d < a.length) { dot += a(d) * signs(base + d); d += 1 }
+          if (dot > 0) bits |= (1 << p)
+          p += 1
+        }
+        out(t) = bits
+        t += 1
+      }
+      out
+    }
+    val bucketed = emb
+      .select(col("vec_id"), posexplode(allSigs(col("embedding"))).as(Seq("t", "bucket")))
+    // multiprobe on the QUERY side only: besides its own bucket, each query
+    // probes every Hamming-1 neighbor bucket (flip one plane bit). This
+    // multiplies query-side rows by planes+1 — queries are the tiny side —
+    // while the corpus keeps exactly one bucket per (row, table), so the
+    // recall boost (a near-orthogonal neighbor only needs planes-1 of
+    // planes bits to agree in SOME table) costs nothing at corpus scale.
+    val probes = udf { (bucket: Int) =>
+      bucket +: Array.tabulate(nPlanes)(p => bucket ^ (1 << p))
+    }
     val qb = bucketed.where(col("vec_id") < 3)
-      .select(col("t"), col("bucket"), col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cands = bucketed.join(qb, Seq("t", "bucket"))
+      .select(col("t"), explode(probes(col("bucket"))).as("bucket"), col("vec_id").as("qid"))
+    // id-only candidates: dedup (qid, vec_id) across tables BEFORE any
+    // payload joins, so embeddings never ride through the distinct shuffle
+    val candIds = bucketed.join(broadcast(qb), Seq("t", "bucket"))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("vec_id"), col("embedding"))
+      .select(col("qid"), col("vec_id"))
       .distinct()
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cands = candIds
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries), "qid")
     val dot = expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
     val na = expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val nb = expr("sqrt(aggregate(qv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")

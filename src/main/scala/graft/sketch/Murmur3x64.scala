@@ -75,11 +75,21 @@ object Murmur3x64 {
   def hash64(s: String): Long =
     hash64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), DefaultSeed)
 
-  /** Fixed little-endian widening of a long before hashing (P4 in SURVEY §2.2). */
+  /** Fixed little-endian widening of a long before hashing (P4 in SURVEY §2.2).
+    *
+    * Allocation-free single-block specialization of hash128 for an 8-byte
+    * input: reading 8 LE bytes of v back as a little-endian long IS v, so
+    * the tail reduces to one k1 round (nblocks=0, rem=8, k2=0). Equality
+    * with the byte-array path is property-tested in SketchSpec; this is
+    * the count-distinct hot loop (millions of updates/sec per core). */
   def hash64Long(v: Long, seed: Long = DefaultSeed): Long = {
-    val b = new Array[Byte](8)
-    putLongLE(b, 0, v)
-    hash64(b, seed)
+    var h1 = seed
+    var h2 = seed
+    var k1 = v
+    k1 *= C1; k1 = rotl64(k1, 31); k1 *= C2; h1 ^= k1
+    h1 ^= 8L; h2 ^= 8L
+    h1 += h2; h2 += h1
+    fmix64(h1) + fmix64(h2)
   }
 
   /** Fast 64->64 mixer (SplitMix64 finalizer) for per-permutation MinHash

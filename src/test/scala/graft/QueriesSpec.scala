@@ -84,7 +84,7 @@ class QueriesSpec extends AnyFunSuite {
     val approx = q("q_ann_lsh").select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(approx).size.toDouble / brute.size
     info(s"ann recall=$recall (${approx.size} approx rows)")
-    assert(recall >= 0.5, s"ann lsh recall too low: $recall")
+    assert(recall >= 0.9, s"ann lsh recall too low: $recall")
   }
 
   test("entry flagship returns clustered clips") {

@@ -41,7 +41,7 @@ class ResumeSpec extends AnyFunSuite {
   test("resume mid-pipeline: later stages recompute, published ones are reused") {
     val clips = ClipGen.generate(spark, nClips = 300, seed = 7L)._1.toDF().cache()
     val root = freshRoot("resume")
-    val h = TableIO.configHash(cfg)
+    val h = TableIO.configHash(cfg) + "-" + TableIO.inputFingerprint(clips)
     val io = new TableIO(spark, root)
     // simulate a run killed after signatures+candidates
     io.commit("signatures", h, Dedup.signatures(clips, cfg))
@@ -59,5 +59,22 @@ class ResumeSpec extends AnyFunSuite {
   test("config change invalidates snapshots (different hash, no stale reuse)") {
     val cfg2 = cfg.copy(tau = 0.7)
     assert(TableIO.configHash(cfg) != TableIO.configHash(cfg2))
+  }
+
+  test("input change invalidates snapshots (fingerprint in the key, no stale reuse)") {
+    import org.apache.spark.sql.functions._
+    val a = ClipGen.generate(spark, nClips = 100, seed = 7L)._1.toDF()
+    val b = ClipGen.generate(spark, nClips = 100, seed = 8L)._1.toDF()
+    assert(TableIO.inputFingerprint(a) != TableIO.inputFingerprint(b))
+    // order/partitioning-independent: same rows, different layout -> same fp
+    assert(TableIO.inputFingerprint(a.repartition(7).orderBy(desc("clip_id"))) ==
+      TableIO.inputFingerprint(a))
+    // end to end: a root populated from input A is NOT reused for input B
+    val root = freshRoot("inputfp")
+    Dedup.runCheckpointed(spark, a, cfg, root).count()
+    val outB = Dedup.runCheckpointed(spark, b, cfg, root)
+      .as[(String, String)].collect().toMap
+    val freshB = Dedup.run(spark, b, cfg).as[(String, String)].collect().toMap
+    assert(outB == freshB, "resume served results from the wrong input")
   }
 }

@@ -128,6 +128,72 @@ class SketchSpec extends AnyFunSuite {
     (0 until 5).foreach(h => assert(top.contains(s"i$h"), s"heavy i$h missing from $top"))
   }
 
+  test("murmur3 long fast path equals the byte-array path for any input") {
+    val rnd = new scala.util.Random(7)
+    val inputs = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue) ++ Seq.fill(1000)(rnd.nextLong())
+    inputs.foreach { v =>
+      val b = new Array[Byte](8)
+      Murmur3x64.putLongLE(b, 0, v)
+      assert(Murmur3x64.hash64Long(v) == Murmur3x64.hash64(b, Murmur3x64.DefaultSeed), s"v=$v")
+      assert(Murmur3x64.hash64Long(v, 1234L) == Murmur3x64.hash64(b, 1234L), s"v=$v seed")
+    }
+  }
+
+  test("freq sketch: no-FP view is a subset of no-FN view with true positives only (hh.rs:153-165)") {
+    val sk = new FreqSketch(4) // tiny: maxMapSize 12, forces purging
+    val truth = scala.collection.mutable.HashMap.empty[String, Long]
+    val rnd = new scala.util.Random(3)
+    (1 to 50000).foreach { _ =>
+      // zipf-ish: few heavies, long tail
+      val item = if (rnd.nextDouble() < 0.5) s"h${rnd.nextInt(3)}" else s"t${rnd.nextInt(5000)}"
+      sk.update(item)
+      truth.updateWith(item) { c => Some(c.getOrElse(0L) + 1L) }
+    }
+    assert(!sk.isExact) // purging definitely happened
+    val noFn = sk.rows.map(_._1).toSet
+    val noFp = sk.rowsNoFp.map(_._1).toSet
+    assert(noFp.subsetOf(noFn))
+    // every surviving item keeps lb <= true <= ub
+    sk.rows.foreach { case (item, _, lb, ub) =>
+      val t = truth(item)
+      assert(lb <= t && t <= ub, s"$item: lb=$lb true=$t ub=$ub")
+    }
+    // heavies are found by BOTH views (true count >> error bound)
+    (0 until 3).foreach { i => assert(noFp.contains(s"h$i")) }
+  }
+
+  test("freq sketch: weighted updates match replicated updates exactly") {
+    val w = new FreqSketch(8)
+    val r = new FreqSketch(8)
+    val items = Seq(("a", 5L), ("b", 3L), ("a", 2L), ("c", 1L))
+    items.foreach { case (it, wt) => w.update(it, wt) }
+    items.foreach { case (it, wt) => (1L to wt).foreach(_ => r.update(it)) }
+    assert(w.rows == r.rows)
+    assert(w.streamWeight == r.streamWeight && w.streamWeight == 11L)
+  }
+
+  test("simhash combo buckets: pigeonhole guarantee at hamming <= 4, key distinctness") {
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextLong()
+      // flip up to 4 random bits
+      var b = a
+      val d = rnd.nextInt(5)
+      (1 to d).foreach(_ => b ^= (1L << rnd.nextInt(64)))
+      val ka = SimHasher.comboBucketKeys(a).toSet
+      val kb = SimHasher.comboBucketKeys(b).toSet
+      assert(ka.size == 15 && kb.size <= 15)
+      if (SimHasher.hammingDistance(a, b) <= 4)
+        assert(ka.intersect(kb).nonEmpty, s"hamming ${SimHasher.hammingDistance(a, b)} pair missed")
+    }
+    // unrelated hashes collide rarely: measure on random pairs
+    val collisions = (1 to 2000).count { _ =>
+      SimHasher.comboBucketKeys(rnd.nextLong()).toSet
+        .intersect(SimHasher.comboBucketKeys(rnd.nextLong()).toSet).nonEmpty
+    }
+    assert(collisions <= 2, s"junk collision rate too high: $collisions/2000") // p ~ 15*2^-21
+  }
+
   test("freq sketch: merge preserves bounds and exactness composition") {
     val a = new FreqSketch(8)
     val b = new FreqSketch(8)

@@ -30,6 +30,10 @@ class TextAudioSpec extends AnyFunSuite {
     assert(Text.langId("le chat est dans la maison et les oiseaux sont pour dans le jardin")._1 == "fr")
     assert(Text.langId("el perro es una mascota que vive con los humanos para siempre")._1 == "es")
     assert(Text.langId("今天天气很好我们去公园散步吧")._1 == "zh")
+    // script split: kana -> ja (kanji+kana mix like real Japanese prose),
+    // Hangul -> ko; pure Han stays zh
+    assert(Text.langId("今日はとても良い天気なので公園へ散歩に行きましょう")._1 == "ja")
+    assert(Text.langId("오늘은 날씨가 좋아서 공원에 산책하러 갑니다")._1 == "ko")
     assert(Text.langId("")._1 == "en") // default
   }
 
