@@ -168,6 +168,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_bpeish_tokens" -> ((s, dir) => {
+      // subword-budget proxy: words + digit runs + punctuation singletons
+      // (Text.bpeIshTokenCount); oracle-able because the token regex is
+      // plain enough to agree between Java regex and DuckDB's RE2
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), bpeish_token_count(col("text")).cast("long").as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_quality" -> ((s, dir) => {
       val t = col("text")
       val n = length(t)
@@ -199,10 +208,15 @@ object SparkEntry {
       // verification keeps J >= 0.5 (ScalaTest checks recall vs oracle)
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").cast("string").as("clip_id"), col("text").as("transcript"))
-      // loose bands for the lower threshold: p(collide) at J=0.5 with
-      // b=64,r=2 is 1-(0.75)^64 ~ 1-1e-8 (the per-threshold tuning the
-      // S-curve demands; the pipeline default is tuned for tau=0.8)
-      val cfg = DedupConfig(tau = 0.5, bands = 64, rowsPerBand = 2)
+      // sharp bands (r=5): these documents are heavily self-similar
+      // (~ALL of the n^2/2 pairs share some shingle; 3.7M pairs sit at
+      // J>=0.2 at sf0.1) while every pair that passes tau=0.5 has
+      // J >= 0.83 — loose r=2 bands collided the J~0.2 mass into
+      // millions of junk candidates (29s at sf0.1). At r=5/b=25 the
+      // J=0.2 mass collides at p = 25*0.2^5 = 0.008 (30k candidates)
+      // while a true pair is missed with p = (1-0.83^5)^25 = 4e-6
+      // (1e-13 at the sf0.01 gate, where min qualifying J = 0.93)
+      val cfg = DedupConfig(tau = 0.5, bands = 25, rowsPerBand = 5)
       val sigs = docs.select(col("clip_id"),
         minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"))
       val cands = Dedup.textCandidates(sigs, cfg).select(col("a"), col("b"))
@@ -386,6 +400,10 @@ object SparkEntry {
     "q_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpeish_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->

@@ -101,13 +101,14 @@ object Dedup {
 
   def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
     // bucket sizes via partial-agg groupBy; singleton buckets (the vast
-    // majority of LSH buckets) never survive the inner join. Materialized:
-    // consumed by both the small- and hot-bucket branches, and it is tiny
-    // (one row per non-singleton bucket).
-    val sizes = materialize(
-      buckets.groupBy(col("source"), col("bucket"))
-        .agg(count(lit(1)).as("bsize"))
-        .where(col("bsize") >= 2))
+    // majority of LSH buckets) never survive the inner join. persist(),
+    // not a checkpoint: it is consumed by both the small- and hot-bucket
+    // branches and is tiny (one row per non-singleton bucket), and unlike
+    // a lineage-cutting checkpoint a lost cached block just recomputes.
+    val sizes = buckets.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // EVERY join below is skew-free by construction — this matters more
     // than anything else for scaling, because one hot bucket (an exact-dup
     // mass, a hot shingle) otherwise lands on ONE shuffle partition and
