@@ -203,38 +203,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    "q_minhash_lsh_docs" -> ((s, dir) => {
-      // near-dup candidates over documents via the text LSH path; exact
-      // verification keeps J >= 0.5 (ScalaTest checks recall vs oracle)
-      val docs = tbl(s, dir, "documents")
-        .select(col("doc_id").cast("string").as("clip_id"), col("text").as("transcript"))
-      // sharp bands (r=5): these documents are heavily self-similar
-      // (~ALL of the n^2/2 pairs share some shingle; 3.7M pairs sit at
-      // J>=0.2 at sf0.1) while every pair that passes tau=0.5 has
-      // J >= 0.83 — loose r=2 bands collided the J~0.2 mass into
-      // millions of junk candidates (29s at sf0.1). At r=5/b=25 the
-      // J=0.2 mass collides at p = 25*0.2^5 = 0.008 (30k candidates)
-      // while a true pair is missed with p = (1-0.83^5)^25 = 4e-6
-      // (1e-13 at the sf0.01 gate, where min qualifying J = 0.93)
-      val cfg = DedupConfig(tau = 0.5, bands = 25, rowsPerBand = 5)
-      val sigs = docs.select(col("clip_id"),
-        minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"))
-      val cands = Dedup.textCandidates(sigs, cfg).select(col("a"), col("b"))
-      // exact verification in the precompute-and-join form: shingle arrays
-      // computed ONCE PER DOC, intersection via codegen array_intersect —
-      // never a per-pair re-shingling UDF (measured 2.7 ms/pair; this form
-      // is ~50x cheaper and is what Dedup.verify uses at scale)
-      val sh = docs.select(col("clip_id"),
-        shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"))
-      val withA = cands.join(sh.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
-      val withB = withA.join(sh.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
-      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      withB
-        .withColumn("j", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
-        .where(col("j") >= cfg.tau)
-        // candidate order is string order over ids; re-canonicalize numerically
-        .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
-          greatest(col("a").cast("long"), col("b").cast("long")).as("b"), col("j"))
+    "q_minhash_lsh_docs" -> ((s, dir) =>
+      lshVerifiedDocPairs(s, dir).orderBy(col("a"), col("b"))),
+
+    "q_cc_clusters" -> ((s, dir) => {
+      // connected components (large-star/small-star union-find) with a
+      // direct oracle: cluster the EXACT verified J>=0.5 pair set of
+      // q_minhash_lsh_docs; DuckDB replays it as a recursive-CTE
+      // transitive closure. cluster_id = min doc_id in the component;
+      // unmatched docs are singleton clusters. Ids are zero-padded before
+      // CC so its string-min representative is the numeric min.
+      val pairs = lshVerifiedDocPairs(s, dir).select(
+        lpad(col("a").cast("string"), 12, "0").as("a"),
+        lpad(col("b").cast("string"), 12, "0").as("b"))
+      val cc = graft.pipeline.ConnectedComponents.runOnStrings(s, pairs, "a", "b")
+        .select(col("clip_id").cast("long").as("doc_id"),
+          col("cluster_id").cast("long").as("cid"))
+      tbl(s, dir, "documents").select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_shared_spans" -> ((s, dir) => {
+      // the north-rule suffix-array pass: every doc pair sharing a
+      // contiguous span of >= 47 code points, with exact containment
+      // flags — winnow-fingerprint buckets for recall, per-pair
+      // generalized suffix array for exact verification (Dedup
+      // .sharedSpanPairs). Ids zero-padded so pair order is numeric.
+      val docs = tbl(s, dir, "documents").select(
+        lpad(col("doc_id").cast("string"), 12, "0").as("id"), col("text"))
+      Dedup.sharedSpanPairs(docs, "id", "text", DedupConfig(), minSpan = 47)
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("a_in_b"), col("b_in_a"))
         .orderBy(col("a"), col("b"))
     }),
 
@@ -330,6 +331,42 @@ object SparkEntry {
         .orderBy(col("event_type"))
     })
   )
+
+  /** Verified near-dup doc pairs via the text LSH path; exact
+    * verification keeps J >= 0.5 (ScalaTest checks recall vs oracle).
+    * Shared by q_minhash_lsh_docs and q_cc_clusters.
+    *
+    * Sharp bands (r=5): these documents are heavily self-similar (~ALL of
+    * the n^2/2 pairs share some shingle; 3.7M pairs sit at J>=0.2 at
+    * sf0.1) while every pair that passes tau=0.5 has J >= 0.83 — loose
+    * r=2 bands collided the J~0.2 mass into millions of junk candidates
+    * (29s at sf0.1). At r=5/b=25 the J=0.2 mass collides at p = 25*0.2^5
+    * = 0.008 (30k candidates) while a true pair is missed with p =
+    * (1-0.83^5)^25 = 4e-6 (1e-13 at the sf0.01 gate, where min
+    * qualifying J = 0.93). */
+  private def lshVerifiedDocPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("clip_id"), col("text").as("transcript"))
+    val cfg = DedupConfig(tau = 0.5, bands = 25, rowsPerBand = 5)
+    val sigs = docs.select(col("clip_id"),
+      minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"))
+    val cands = Dedup.textCandidates(sigs, cfg).select(col("a"), col("b"))
+    // exact verification in the precompute-and-join form: shingle arrays
+    // computed ONCE PER DOC, intersection via codegen array_intersect —
+    // never a per-pair re-shingling UDF (measured 2.7 ms/pair; this form
+    // is ~50x cheaper and is what Dedup.verify uses at scale)
+    val sh = docs.select(col("clip_id"),
+      shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"))
+    val withA = cands.join(sh.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
+    val withB = withA.join(sh.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    withB
+      .withColumn("j", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
+      .where(col("j") >= cfg.tau)
+      // candidate order is string order over ids; re-canonicalize numerically
+      .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"), col("j"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -430,6 +467,59 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
         |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_cc_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 5) AS s
+        |  FROM documents, unnest(range(1, greatest(length(text)-4, 1) + 1)) u(i)
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT inter.a, inter.b
+        |  FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+        |), e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+        |)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q_shared_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(text, CAST(u.i AS INT), 47) AS g
+        |  FROM documents, unnest(range(1, greatest(length(text)-46, 0) + 1)) u(i)
+        |), p AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |)
+        |SELECT p.a, p.b,
+        |  contains(tb.text, ta.text) AS a_in_b,
+        |  contains(ta.text, tb.text) AS b_in_a
+        |FROM p JOIN documents ta ON ta.doc_id = p.a
+        |       JOIN documents tb ON tb.doc_id = p.b
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    "q_ann_lsh" ->
+      // LSH with Hamming-1 multiprobe at (planes=4, tables=16) returns the
+      // exact brute-force top-10 on this data (recall 1.0, asserted by
+      // QueriesSpec at >=0.9 and by the hash-match here): same oracle
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+        |),
+        |rk AS (SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT qid, vec_id, cos, rk FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (

@@ -120,6 +120,12 @@ package object functions {
   val is_substring = udf((a: String, b: String) =>
     a != null && b != null && Text.isSubstring(a, b))
 
+  /** Longest shared contiguous span (in code points) via a per-pair
+    * generalized suffix array — the exact verifier of the north-rule
+    * substring pass (see text.SuffixArray). */
+  val shared_span_len = udf((a: String, b: String) =>
+    graft.text.SuffixArray.longestSharedSpan(a, b))
+
   // ---- text analysis --------------------------------------------------------
   val lang_id = udf((text: String) => if (text == null) "en" else Text.langId(text)._1)
 

@@ -249,6 +249,44 @@ object Dedup {
         xxhash64(lit("winnow"), col("fp")).as("bucket"),
         lit("substring").as("source"))
 
+  /** The north-rule suffix-array pass as a standalone operator: exact
+    * shared-span pairs. Winnowed fingerprints bucket the corpus — the
+    * recall GUARANTEE (Schleimer et al.) is that any pair sharing a
+    * contiguous span of >= winnowWindow + winnowK - 1 bytes shares a
+    * fingerprint, so the bucket equi-join cannot miss a qualifying pair —
+    * then each candidate is verified EXACTLY with a per-pair generalized
+    * suffix array (text.SuffixArray), O((|a|+|b|) log) inside a map stage.
+    * This replaces a corpus-global suffix array (which does not
+    * distribute) with a bucket join + local SA: same answer, shuffle-
+    * friendly, nothing global. Output: (a, b, span_len, a_in_b, b_in_a)
+    * for every pair sharing >= minSpan CODE POINTS (a < b in the id
+    * column's string order); the containment flags mark full-substring
+    * pairs. `hotBucketLimit` defaults to exact (no star-capping) — at
+    * extreme scale pass a finite limit and pairs inside over-limit
+    * fingerprint buckets (stop-phrase buckets) degrade to star evidence.
+    */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig = DedupConfig(), minSpan: Int = 47,
+      hotBucketLimit: Int = Int.MaxValue): DataFrame = {
+    require(minSpan >= cfg.winnowWindow + cfg.winnowK - 1,
+      s"winnowing only guarantees recall for spans >= ${cfg.winnowWindow + cfg.winnowK - 1}")
+    val d = docs.select(col(idCol).cast("string").as("clip_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val sigs = d.select(col("clip_id"),
+      winnow_hashes(col("text"), lit(cfg.winnowK), lit(cfg.winnowWindow)).as("winnow"))
+    // a pair sharing several fingerprints collides in several buckets:
+    // distinct() before the (costlier) SA verification
+    val cands = pairsFromBuckets(substringBuckets(sigs, cfg), hotBucketLimit)
+      .select(col("a"), col("b")).distinct()
+    val withA = cands.join(d.select(col("clip_id").as("a"), col("text").as("text_a")), "a")
+    val withB = withA.join(d.select(col("clip_id").as("b"), col("text").as("text_b")), "b")
+    withB.withColumn("span_len", shared_span_len(col("text_a"), col("text_b")))
+      .where(col("span_len") >= minSpan)
+      .select(col("a"), col("b"), col("span_len"),
+        (col("span_len") === length(col("text_a"))).as("a_in_b"),
+        (col("span_len") === length(col("text_b"))).as("b_in_a"))
+  }
+
   /** Back-compat single-source candidate helpers (tests / SparkEntry).
     * A pair colliding in k bands would otherwise be emitted k times;
     * distinct() keeps each candidate once. */

@@ -87,6 +87,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ann lsh recall too low: $recall")
   }
 
+  test("q_shared_spans equals brute-force all-pairs suffix-array scan") {
+    import graft.text.SuffixArray
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = (for {
+      (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+      span = SuffixArray.longestSharedSpan(ta, tb) if span >= 47
+    } yield (ida, idb, span == cpLen(ta), span == cpLen(tb))).toSet
+    val got = q("q_shared_spans").as[(Long, Long, Boolean, Boolean)].collect().toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty) // the fixture plants qualifying spans
+  }
+
+  test("q_cc_clusters equals driver-side union-find over the verified pairs") {
+    val pairs = q("q_minhash_lsh_docs").select($"a", $"b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id").as[Long].collect()
+    val want = docs.map(d => d -> find(d)).toMap
+    val got = q("q_cc_clusters").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(pairs.nonEmpty && want.values.toSet.size < docs.length) // non-trivial clusters
+  }
+
   test("entry flagship returns clustered clips") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq == Seq("clip_id", "cluster_id"))
