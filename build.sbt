@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // throughput GC: G1 collapsed under the pipeline's allocation rate at
+  // 32 mutator threads (5x CPU inflation in the signature stage)
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("GRAFT_JVM_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -34,14 +34,12 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    var converged = false
-    var iter = 0
-    var prevSig: Row2 = signature(e)
-    while (!converged && iter < maxIter) {
+    // one large-star + small-star round as a pure plan transform
+    def round(in: DataFrame): DataFrame = {
       // large-star: for each node, link every LARGER neighbor to the min
       // of its neighborhood (incl. itself). Keeps the graph connected,
       // strictly reduces large-id edges.
-      val nbrs = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+      val nbrs = in.select($"u", $"v").union(in.select($"v".as("u"), $"u".as("v")))
       val mins = nbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
       val large = nbrs.join(mins, "u")
         .where($"v" > $"u")
@@ -54,18 +52,32 @@ object ConnectedComponents {
       // neighbors (and self) to the neighborhood min.
       val oriented = large.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       val mins2 = oriented.groupBy($"u").agg(min($"v").as("m"))
-      val small = oriented.join(mins2, "u")
+      oriented.join(mins2, "u")
         .select(
           array($"u", $"v").as("nodes"), $"m")
         .select(explode($"nodes").as("u"), $"m".as("v"))
         .where($"u" =!= $"v")
         .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
         .distinct()
+    }
 
-      val next = small.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      val sig = signature(next)
-      converged = sig == prevSig
-      prevSig = sig
+    var converged = false
+    var iter = 0
+    var prevSig: Option[Row2] = None
+    while (!converged && iter < maxIter) {
+      // TWO rounds per materialization + probe: the driver-serial loop's
+      // fixed latency (checkpoint barrier + probe job per pass) halves,
+      // at worst one extra (cheap, already-converged) round pair. The
+      // checkpoint still truncates lineage every pass, so the plan stays
+      // bounded (CcPlanSpec).
+      val next = round(round(e))
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // probe from pass 2 on: pass 1 of a non-trivial graph never converges
+      if (iter >= 1) {
+        val sig = signature(next)
+        converged = prevSig.contains(sig)
+        prevSig = Some(sig)
+      }
       e.unpersist()
       e = next
       iter += 1

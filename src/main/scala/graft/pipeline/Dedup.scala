@@ -61,15 +61,23 @@ object Dedup {
     * 100TB candidate stage. */
   def signatures(clips: DataFrame, cfg: DedupConfig): DataFrame = {
     val t = coalesce(col("transcript"), lit(""))
+    // the raw shingle set (sh) and audio frame-hash set (afp) are carried
+    // FORWARD in the signature table so verification never touches the
+    // raw clips again: re-decoding 300k clips' PCM and re-shingling every
+    // transcript in the verify stage measured as ~half the pipeline's
+    // total allocation churn (GC was 31% of all task time), for data the
+    // signature pass had already computed. One wider checkpoint row beats
+    // a second full decode pass at every scale.
     clips.select(
       col("clip_id"),
+      t.as("transcript"),
+      shingle_hashes(t, lit(cfg.shingleK)).as("sh"),
       minhash_text(t, cfg.shingleK, cfg.numPerms).as("minhash"),
       simhash_text(t).as("simhash"),
-      minhash_of_hashes(
-        audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")), lit(cfg.numPerms)
-      ).as("audio_minhash"),
+      audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")).as("afp"),
       winnow_hashes(t, lit(cfg.winnowK), lit(cfg.winnowWindow)).as("winnow"),
       length(t).as("t_len"))
+      .withColumn("audio_minhash", minhash_of_hashes(col("afp"), lit(cfg.numPerms)))
   }
 
   /** Materialization barrier for multi-consumer intermediates. With a
@@ -78,113 +86,128 @@ object Dedup {
     * loss cannot kill the run, the 100TB default); without one it falls
     * back to executor-local blocks (fast, test/sandbox mode). */
   private[graft] def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist first: an eager reliable checkpoint runs TWO jobs (the
+      // eager action, then the checkpoint write) and recomputes the whole
+      // plan in the second one unless its blocks are cached — for the
+      // map-only signature stage that doubled the audio decode + minhash
+      // work. The write job reads the cached blocks instead.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+      out
+    } else
       df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Generic LSH bucket -> candidate pair stage with skew-aware splitting.
     * input: (clip_id, bucket LONG, source); output: (a, b, source), a < b.
     *
-    * One groupBy(bucket) shuffle does everything: singleton buckets (the
-    * vast majority) are dropped by the partial-aggregated size filter;
-    * buckets up to `hotBucketLimit` emit all pairs; hot buckets (exact-dup
-    * masses, hot shingles) emit a STAR around the min member — O(n) edges
+    * Singleton buckets (the vast majority) are dropped by a
+    * partial-aggregated size filter; buckets up to `hotBucketLimit` emit
+    * all pairs; hot buckets (exact-dup masses, hot shingles) emit a STAR
+    * around the min member — O(n) edges
     * with identical connected components, which is the skew-aware
-    * splitting the north rule asks for. collect_list per bucket is safe
-    * BECAUSE hot buckets are star-capped: task memory is O(bucket), and a
-    * bucket is one LSH band collision group, not a data partition. */
-  /** Join-spreading factor for hot-bucket joins: a hot bucket's rows land
-    * on JoinSalts shuffle partitions instead of one (the small side is
-    * replicated JoinSalts times, and only for hot buckets). */
-  final val JoinSalts = 16
+    * splitting the north rule asks for. */
+  /** Salt width for hot buckets: a hot bucket's rows land
+    * on HotSalts shuffle partitions instead of one. */
+  final val HotSalts = 16
 
   def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
-    // bucket sizes via partial-agg groupBy; singleton buckets (the vast
-    // majority of LSH buckets) never survive the inner join. persist(),
-    // not a checkpoint: it is consumed by both the small- and hot-bucket
-    // branches and is tiny (one row per non-singleton bucket), and unlike
-    // a lineage-cutting checkpoint a lost cached block just recomputes.
+    // Single-join + sorted-run design. The earlier form (size join per
+    // branch, three collect_list aggregations, salted hub joins, union)
+    // was correct but its five shuffles and list aggregations were the
+    // worst-scaling stage of the pipeline (8->32 cores bought almost
+    // nothing). This form touches the bucket fan-out twice total:
+    //   1. partial-agg sizes (map-side combined, tiny output), joined back
+    //      once — singleton buckets (the vast majority) die in the join;
+    //   2. ONE salted repartition + in-partition sort, then a single
+    //      STREAMING pass over sorted (source, bucket, salt) runs that
+    //      emits pairs directly — no collect_list, bounded memory.
+    //
+    // Skew-aware band-bucket splitting (north rule) lives in the salt:
+    //  - bsize <= hotBucketLimit: salt 0, ALL PAIRS within the run;
+    //  - bsize <= saltMaxBucket: hash(clip_id) into ceil(bsize/limit)
+    //    sub-buckets, all-pairs within each — keeps local pair evidence in
+    //    MIXED hot buckets (a shared phrase pulling unrelated docs
+    //    together) where a star hub would fail verification; a true pair
+    //    colliding in k hot buckets co-salts in >=1 with p=1-(1-1/s)^k;
+    //  - beyond saltMaxBucket (IDF cutoff: P(dup | shared stop-phrase)~0)
+    //    the run is STAR-ONLY around its minimum member, streamed in O(1)
+    //    memory, spread over HotSalts shuffle partitions; the per-salt
+    //    hubs of one bucket are then joined into one component by a
+    //    second, tiny all-pairs over the <= HotSalts hubs.
+    // No task ever materializes more than min(bsize, saltMaxBucket) ids.
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val hotLimit = hotBucketLimit
+    val saltMax = saltMaxBucket
     val sizes = buckets.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("bsize"))
       .where(col("bsize") >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // EVERY join below is skew-free by construction — this matters more
-    // than anything else for scaling, because one hot bucket (an exact-dup
-    // mass, a hot shingle) otherwise lands on ONE shuffle partition and
-    // serializes the stage (measured: 2 straggler jobs were most of the
-    // candidate stage's wall time):
-    //  - small buckets (<= hotBucketLimit rows per key) join unsalted;
-    //  - hot buckets join through a JoinSalts-salted key: the row side
-    //    salts by hash(clip_id), the size/hub side (one row per HOT bucket
-    //    — few by definition) is replicated JoinSalts times.
-    val sizesSmall = sizes.where(col("bsize") <= hotBucketLimit)
-    val sizesHot = sizes.where(col("bsize") > hotBucketLimit)
-    val saltsCol = explode(sequence(lit(0), lit(JoinSalts - 1))).as("jsalt")
-    val jsaltOf = pmod(xxhash64(col("clip_id")), lit(JoinSalts)).cast("int")
-    val hotB = buckets.withColumn("jsalt", jsaltOf)
-      .join(sizesHot.select(col("source"), col("bucket"), col("bsize"), saltsCol),
-        Seq("source", "bucket", "jsalt"))
-    // skew-aware band-bucket splitting (north rule), two complementary
-    // moves, both linear in bucket size:
-    //  1. ALL-PAIRS within small buckets and within SALTED SUB-BUCKETS of
-    //     hot ones — members re-bucketed by hash(clip_id) into
-    //     ceil(bsize/limit) salt groups, all-pairs within each group, so
-    //     collect_list stays bounded by ~hotBucketLimit. Sub-buckets keep
-    //     local pair evidence in MIXED hot buckets (a shared phrase
-    //     pulling unrelated docs together), where a star hub would fail
-    //     verification and drop true pairs. A true pair colliding in k
-    //     hot buckets co-salts in >=1 with p = 1-(1-1/s)^k.
-    //  2. STAR around the min member for buckets OVER the limit — O(n)
-    //     edges, preserves the connected component when the bucket is a
-    //     homogeneous dup mass (the hub verifies against every member).
-    // IDF-like cutoff: a bucket beyond saltMaxBucket carries no pairwise
-    // evidence (P(dup | shared stopword-phrase) ~ 0) — salting it would
-    // emit bsize*limit/2 junk pairs per bucket, so it is star-only.
-    // groupBys are partial-aggregated or bounded-collect_list: no task
-    // ever materializes a whole hot bucket.
-    val allPairs = udf { (members: Seq[String]) =>
-      val m = members.sorted
-      val out = Seq.newBuilder[(String, String)]
-      var i = 0
-      while (i < m.length) {
-        var j = i + 1
-        while (j < m.length) { out += ((m(i), m(j))); j += 1 }
-        i += 1
-      }
-      out.result()
-    }
     // pair generation is OUTPUT-heavy (quadratic in group size) while its
     // shuffle INPUT is tiny, so AQE's bytes-based coalescing would shrink
-    // these aggregations to one task and serialize the stage (measured:
-    // two 1-task stages were ~half the candidate wall time). An explicit
-    // fixed-width repartition on the group key pins the fan-out.
-    val shufN = buckets.sparkSession.sessionState.conf.numShufflePartitions
-    val smallPairs = buckets.join(sizesSmall.select(col("source"), col("bucket")), Seq("source", "bucket"))
-      .repartition(shufN, col("source"), col("bucket"))
-      .groupBy(col("source"), col("bucket"))
-      .agg(collect_list(col("clip_id")).as("members"))
-      .select(col("source"), explode(allPairs(col("members"))).as("p"))
-      .select(col("p._1").as("a"), col("p._2").as("b"), col("source"))
-    val subPairs = hotB.where(col("bsize") <= saltMaxBucket)
-      .withColumn("salt",
-        pmod(xxhash64(col("clip_id")), ceil(col("bsize") / hotBucketLimit).cast("long")))
+    // the run stage to one task and serialize it. An explicit fixed-width
+    // repartition on the salted group key pins the fan-out.
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    val saltCol = when(col("bsize") <= hotLimit, lit(0L))
+      .when(col("bsize") <= saltMax,
+        pmod(xxhash64(col("clip_id")), ceil(col("bsize").cast("double") / hotLimit).cast("long")))
+      .otherwise(pmod(xxhash64(col("clip_id")), lit(HotSalts.toLong)))
+    // shuffle-hash, not sort-merge: SMJ would sort the full fan-out just
+    // to probe the (small) sizes side, and the salted repartition below
+    // re-sorts anyway — hashing the sizes side skips one 36M-row sort
+    val parted = buckets.join(sizes.hint("shuffle_hash"), Seq("source", "bucket"))
+      .withColumn("salt", saltCol)
       .repartition(shufN, col("source"), col("bucket"), col("salt"))
-      .groupBy(col("source"), col("bucket"), col("salt"))
-      .agg(collect_list(col("clip_id")).as("members"))
-      .where(size(col("members")) >= 2)
-      .select(col("source"), explode(allPairs(col("members"))).as("p"))
-      .select(col("p._1").as("a"), col("p._2").as("b"), col("source"))
-    // hubs: partial-agg min per hot bucket (map-side combine leaves one
-    // row per key per partition — no reducer skew), then a salted join
-    // back against the hot fan-out
-    val hubs = hotB.groupBy(col("source"), col("bucket")).agg(min(col("clip_id")).as("a"))
-    val starPairs = hotB
-      .join(hubs.select(col("source"), col("bucket"), col("a"), saltsCol),
-        Seq("source", "bucket", "jsalt"))
-      .where(col("clip_id") =!= col("a"))
-      .select(col("a"), col("clip_id").as("b"), col("source"))
-    smallPairs.union(subPairs).union(starPairs)
+      .sortWithinPartitions(col("source"), col("bucket"), col("salt"), col("clip_id"))
+      .select(col("source"), col("bucket"), col("salt"), col("clip_id"), col("bsize"))
+      .as[(String, Long, Long, String, Long)]
+    // streaming run pass; output (a, b, source, bucket) where a null b
+    // marks a hot run's hub (bucket kept only for hub stitching)
+    val raw = parted.mapPartitions { rows =>
+      val it = rows.buffered
+      new scala.collection.AbstractIterator[Iterator[(String, String, String, Long)]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Iterator[(String, String, String, Long)] = {
+          val (src, bkt, salt, firstId, bsize) = it.next()
+          def sameRun: Boolean = it.hasNext && {
+            val h = it.head; h._1 == src && h._2 == bkt && h._3 == salt
+          }
+          if (bsize > saltMax) {
+            // hot: stream star around the run's min (first in sorted order)
+            val star = new scala.collection.AbstractIterator[(String, String, String, Long)] {
+              def hasNext: Boolean = sameRun
+              def next(): (String, String, String, Long) = (firstId, it.next()._4, src, bkt)
+            }
+            star ++ Iterator.single((firstId, null, src, bkt))
+          } else {
+            // small run / salted sub-run: buffer (<= saltMax ids), all pairs
+            val m = scala.collection.mutable.ArrayBuffer(firstId)
+            while (sameRun) m += it.next()._4
+            if (m.length < 2) Iterator.empty
+            else new scala.collection.AbstractIterator[(String, String, String, Long)] {
+              private var i = 0; private var j = 1
+              def hasNext: Boolean = i < m.length - 1
+              def next(): (String, String, String, Long) = {
+                val out = (m(i), m(j), src, bkt)
+                j += 1; if (j == m.length) { i += 1; j = i + 1 }
+                out
+              }
+            }
+          }
+        }
+      }.flatten
+    }.toDF("a", "b", "source", "bucket")
+    val pairs = raw.where(col("b").isNotNull).select(col("a"), col("b"), col("source"))
+    // stitch the per-salt hubs of each hot bucket (<= HotSalts rows per
+    // bucket — tiny by construction) into one connected component
+    val hubPairs = raw.where(col("b").isNull)
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(col("a"))).as("hubs"))
+      .where(size(col("hubs")) >= 2)
+      .select(col("source"), col("hubs")(0).as("a"), explode(slice(col("hubs"), 2, HotSalts)).as("b"))
+      .select(col("a"), col("b"), col("source"))
+    pairs.union(hubPairs)
   }
 
   /** Stage 2 bucket builders: each maps the persisted signature table to
@@ -319,17 +342,21 @@ object Dedup {
     * clip_id — the only wide join) and keeps pairs passing any criterion:
     * exact shingle-Jaccard >= tau, shingle containment >= containmentTau,
     * or audio frame-set Jaccard >= audioTau. */
-  def verify(clips: DataFrame, cands: DataFrame, cfg: DedupConfig): DataFrame = {
-    // shingle sets and audio fingerprints are computed ONCE PER CLIP here,
-    // not once per candidate pair: a clip in k pairs would otherwise be
-    // re-shingled k times (measured 2.7ms/pair in per-pair UDF form; the
-    // array_intersect form is codegen'd and ~50x cheaper)
-    // same null-as-empty normalization as signatures(): an empty text has
-    // ONE whole-text shingle, so the set sizes below are never zero
-    val payload = clips.select(
-      col("clip_id"), coalesce(col("transcript"), lit("")).as("transcript"),
-      shingle_hashes(coalesce(col("transcript"), lit("")), lit(cfg.shingleK)).as("sh"),
-      audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")).as("afp"))
+  def verify(sigs: DataFrame, cands: DataFrame, cfg: DedupConfig): DataFrame = {
+    // shingle sets and audio fingerprints were computed ONCE PER CLIP in
+    // the signature pass (never once per candidate pair — measured
+    // 2.7ms/pair in per-pair UDF form; the array_intersect form is
+    // codegen'd and ~50x cheaper) and arrive here as sig columns. The
+    // pruned projection is re-materialized so the two id joins below read
+    // compact (id, transcript, sh, afp) rows instead of full sig rows
+    // (a checkpointed table cannot be column-pruned).
+    // pre-partitioned by clip_id: the aliased projections below keep the
+    // partitioning (alias-aware), so NEITHER id join reshuffles the wide
+    // payload — only the skinny candidate side and the one unavoidable
+    // wide intermediate move. Two payload-sized shuffles saved.
+    val shufN = sigs.sparkSession.sessionState.conf.numShufflePartitions
+    val payload = sigs.select(col("clip_id"), col("transcript"), col("sh"), col("afp"))
+      .repartition(shufN, col("clip_id"))
     val payloadM = materialize(payload)
     val withA = cands.join(payloadM.select(col("clip_id").as("a"),
       col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
@@ -378,7 +405,7 @@ object Dedup {
     // explicit materialization barrier = the --raw/--merge seam).
     val sigs = materialize(signatures(clips, cfg))
     val cands = candidates(sigs, cfg)
-    val edges = verify(clips, cands, cfg)
+    val edges = verify(sigs, cands, cfg)
     clusters(spark, clips, edges)
   }
 
@@ -398,7 +425,7 @@ object Dedup {
       graft.io.TableIO.inputFingerprint(clips)
     val sigs = io.readOrCompute("signatures", h)(signatures(clips, cfg))
     val cands = io.readOrCompute("candidates", h)(candidates(sigs, cfg))
-    val edges = io.readOrCompute("edges", h)(verify(clips, cands, cfg))
+    val edges = io.readOrCompute("edges", h)(verify(sigs, cands, cfg))
     io.readOrCompute("clusters", h)(clusters(spark, clips, edges))
   }
 
