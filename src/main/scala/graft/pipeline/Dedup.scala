@@ -97,7 +97,12 @@ object Dedup {
       cached.unpersist(blocking = false)
       out
     } else
-      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // DISK_ONLY, deliberately: the signature + payload checkpoints are
+      // ~10 GB serialized at 600k clips, and keeping them heap-resident
+      // (MEMORY_AND_DISK_SER) drove ParallelGC into multi-second full
+      // collections that inflated the high-core leg superlinearly; local
+      // SSD blocks cost a re-read but zero GC
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Generic LSH bucket -> candidate pair stage with skew-aware splitting.
     * input: (clip_id, bucket LONG, source); output: (a, b, source), a < b.
