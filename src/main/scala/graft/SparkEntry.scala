@@ -549,7 +549,10 @@ object SparkEntry {
         |ORDER BY clip_id""".stripMargin,
 
     "q_hh_weighted" ->
-      """SELECT event_type AS item, sum(w) AS est, sum(w) AS lb, sum(w) AS ub
+      // CAST the sums back to BIGINT: DuckDB's sum(BIGINT) is HUGEINT,
+      // which pandas renders as float — same values, mismatched dtype
+      """SELECT event_type AS item, CAST(sum(w) AS BIGINT) AS est,
+        |  CAST(sum(w) AS BIGINT) AS lb, CAST(sum(w) AS BIGINT) AS ub
         |FROM (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS w FROM events)
         |GROUP BY 1 ORDER BY est DESC, item LIMIT 3""".stripMargin,
 
