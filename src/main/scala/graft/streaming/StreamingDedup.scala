@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.functions._
+import graft.pipeline.{Dedup, DedupConfig}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-bucket LSH membership carried across micro-batches. `members` is
+  * capped at the batch pipeline's `hotBucketLimit`; once a bucket
+  * overflows, only the minimum member survives as `hub` and later
+  * arrivals pair against it alone — the streaming form of the batch
+  * star transform (same connected components, bounded state). */
+final case class BucketState(members: Vector[String], hub: Option[String])
+
+/** Structured Streaming near-dup candidate generation (SURVEY §2.8
+  * promoted from sketch aggregates to the flagship pipeline): the batch
+  * LSH design re-expressed as keyed state. Signatures are the same
+  * map-only pass; band buckets become `groupByKey(bucket)` with
+  * `flatMapGroupsWithState`, so every arriving clip is paired against
+  * the members already seen in its buckets — incremental dedup with
+  * O(hotBucketLimit) state per bucket key and append-only output.
+  *
+  * The reference engine's streaming model is a one-pass reducer over
+  * stdin (/root/reference/src/main.rs); this is that contract on an
+  * unbounded keyed stream with exactly the batch candidate semantics.
+  */
+object StreamingDedup {
+
+  /** Text-LSH candidate pairs over a (possibly streaming) clips frame.
+    * Output: (a, b, source) with a < b in string order; a pair colliding
+    * in several bands can be emitted more than once (batch mode dedups
+    * with groupBy(a,b) — a streaming consumer dedups downstream or
+    * treats candidate emission as idempotent, which verification is). */
+  def textCandidatePairs(clips: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    val t = coalesce(col("transcript"), lit(""))
+    val sigs = clips.select(
+      col("clip_id"),
+      minhash_text(t, cfg.shingleK, cfg.numPerms).as("minhash"))
+    val buckets = Dedup.textBuckets(sigs, cfg)
+      .select(col("bucket"), col("clip_id"))
+      .as[(Long, String)]
+    val limit = cfg.hotBucketLimit
+    buckets
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: Long, rows: Iterator[(Long, String)], state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(Vector.empty, None))
+          val out = Vector.newBuilder[(String, String, String)]
+          // deterministic intake order regardless of shuffle arrival
+          val arrivals = rows.map(_._2).toVector.sorted.distinct
+          arrivals.foreach { id =>
+            st.hub match {
+              case Some(h) =>
+                // star regime: one edge to the (min) hub, state stays O(1)
+                if (id != h) {
+                  val (a, b) = if (id < h) (id, h) else (h, id)
+                  out += ((a, b, "minhash"))
+                  st = if (id < h) BucketState(Vector.empty, Some(id)) else st
+                }
+              case None =>
+                if (!st.members.contains(id)) {
+                  st.members.foreach { m =>
+                    val (a, b) = if (id < m) (id, m) else (m, id)
+                    out += ((a, b, "minhash"))
+                  }
+                  val grown = st.members :+ id
+                  st =
+                    if (grown.length > limit) BucketState(Vector.empty, Some(grown.min))
+                    else BucketState(grown, None)
+                }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+      .toDF("a", "b", "source")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.pipeline.{Dedup, DedupConfig}
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The flagship pipeline's candidate stage under Structured Streaming:
+  * incremental LSH pairing via flatMapGroupsWithState must converge to
+  * the batch candidate set, regardless of how the stream is chopped
+  * into micro-batches, and must bound state via the star regime. */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.select($"a", $"b").as[(String, String)].collect().toSet
+
+  test("streamed candidates across 3 micro-batches equal batch textCandidates") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = DedupConfig()
+    val clips = gen.ClipGen.generate(spark, 200, seed = 42L)._1
+      .select($"clip_id", $"transcript").as[(String, String)].collect().toSeq
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingDedup.textCandidatePairs(
+      mem.toDF().toDF("clip_id", "transcript"), cfg)
+    val q = out.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clips.grouped((clips.size + 2) / 3).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = canon(spark.sql("SELECT a, b FROM sdedup_out"))
+      val sigs = spark.createDataset(clips).toDF("clip_id", "transcript")
+        .select($"clip_id",
+          graft.functions.minhash_text($"transcript", cfg.shingleK, cfg.numPerms).as("minhash"))
+      val batchPairs = canon(Dedup.textCandidates(sigs, cfg))
+      assert(streamed == batchPairs,
+        s"stream-only=${(streamed -- batchPairs).take(5)} batch-only=${(batchPairs -- streamed).take(5)}")
+      assert(batchPairs.nonEmpty) // planted dups exist
+    } finally q.stop()
+  }
+
+  test("hot bucket overflows into star regime: bounded state, connected output") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = DedupConfig(hotBucketLimit = 8)
+    val ids = (1 to 40).map(i => f"c$i%03d")
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingDedup.textCandidatePairs(
+      mem.toDF().toDF("clip_id", "transcript"), cfg)
+    val q = out.writeStream.format("memory").queryName("sdedup_hot")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // identical transcripts: every band bucket holds all 40 ids
+      ids.grouped(10).foreach { batch =>
+        mem.addData(batch.map(id => (id, "the very same transcript for everyone here")): _*)
+        q.processAllAvailable()
+      }
+      val pairs = canon(spark.sql("SELECT a, b FROM sdedup_hot"))
+      // star regime caps emissions far below all-pairs (40*39/2 = 780)
+      assert(pairs.size < 200, s"expected bounded star output, got ${pairs.size}")
+      // and the pairs connect all 40 ids into ONE component
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      assert(ids.map(find).toSet.size == 1, "star pairs must connect the whole bucket")
+    } finally q.stop()
+  }
+}
