@@ -84,7 +84,7 @@ object Bench {
         // small leg is ~13x that, the regime the 10^12-row rule is about)
         val scalingN = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "600000").toInt
         val (eff, thrLo, thrHi) = ScalingBench.measure(nClips = scalingN,
-          reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "1").toInt)
+          reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
         f""","scaling_efficiency":$eff%.3f,"scaling_thr_local${ScalingBench.scalingCpusLo}":$thrLo%.1f,"scaling_thr_local${ScalingBench.scalingCpusHi}":$thrHi%.1f,"scaling_n_clips":$scalingN"""
       } else ""
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_clips_per_sec":${f"$clipsPerSec%.1f"}$scalingJson}""")
@@ -212,12 +212,22 @@ object ScalingBench {
     try graft.gen.ClipGen.generate(gen, nClips, seed = 42L, numPartitions = 64)._1.toDF()
       .write.mode("overwrite").parquet(s"$genDir/clips")
     finally gen.stop()
+    // best-of-reps per leg: identical back-to-back runs on this host
+    // swing +/-70% (transient host contention outside the VM), so a
+    // single rep makes the binding ratio a lottery. Extra reps are
+    // skipped once the wall budget is spent — one rep per leg always
+    // runs, so a result is always produced.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2700").toLong
+    val tStart = System.nanoTime()
+    def elapsedS: Long = (System.nanoTime() - tStart) / 1000000000L
     def bestOf(cpus: Int): (Double, Long) = {
       var best = (0.0, 0L)
       (1 to reps).foreach { i =>
-        val r = freshJvm(cpus, nClips, Some(s"$genDir/clips"))
-        System.err.println(f"[scaling] local[$cpus] rep $i: ${r._1}%.1f clips/s")
-        if (r._1 > best._1) best = r
+        if (i == 1 || elapsedS < budgetS) {
+          val r = freshJvm(cpus, nClips, Some(s"$genDir/clips"))
+          System.err.println(f"[scaling] local[$cpus] rep $i: ${r._1}%.1f clips/s (t+${elapsedS}s)")
+          if (r._1 > best._1) best = r
+        } else System.err.println(s"[scaling] local[$cpus] rep $i skipped: budget ${budgetS}s spent")
       }
       best
     }
@@ -239,7 +249,7 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nClips = if (args.nonEmpty) args(0).toInt else 600000
-    val (eff, thr8, thr32) = measure(nClips, reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "1").toInt)
+    val (eff, thr8, thr32) = measure(nClips, reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
     println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"n_clips":$nClips}""")
   }
 }
