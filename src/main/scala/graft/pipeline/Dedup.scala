@@ -203,6 +203,9 @@ object Dedup {
         }
       }.flatten
     }.toDF("a", "b", "source", "bucket")
+      // two consumers (pair rows + hub markers): without a cache the
+      // whole join + sort + run pass would execute twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val pairs = raw.where(col("b").isNotNull).select(col("a"), col("b"), col("source"))
     // stitch the per-salt hubs of each hot bucket (<= HotSalts rows per
     // bucket — tiny by construction) into one connected component
