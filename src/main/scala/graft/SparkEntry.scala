@@ -279,6 +279,14 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "q_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-duplicate pairs (training-data dedup):
+      // LSH-bucketed candidates with Hamming-1 probes (miss p ~ 2e-6 at
+      // tau = 0.45), exact-cosine verified — never an all-pairs scan
+      graft.sim.Ann.cosineNearDupPairs(s, tbl(s, dir, "embeddings"), tau = 0.45)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- the north-star pipeline on synthetic clips -------------------------
     "q_pipeline_clusters" -> ((s, dir) => {
       Dedup.run(s, clipsInput(s, dir), DedupConfig()).orderBy(col("clip_id"))
@@ -520,6 +528,16 @@ object SparkEntry {
         |rk AS (SELECT qid, vec_id, cos,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM scored)
         |SELECT qid, vec_id, cos, rk FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        |ORDER BY a, b""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (

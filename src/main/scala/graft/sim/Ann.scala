@@ -48,17 +48,45 @@ object Ann {
     m
   }
 
-  /** Top-k neighbors of query vectors (vec_id < 3, mirroring the brute
-    * force baseline) from LSH buckets, exact-cosine reranked. */
-  def lshTopK(spark: SparkSession, emb: DataFrame, kNeighbors: Int, planes: Int, tables: Int): DataFrame = {
-    // dimensionality probe: one tiny job; the sign matrix is built once on
-    // the driver and shipped in the UDF closure (tables*planes*dim floats)
+  /** Embedding-cosine near-duplicate PAIRS (the training-data dedup
+    * family): every pair with exact cosine >= tau, found via the same
+    * random-hyperplane buckets instead of an all-pairs scan. One side of
+    * the self-join explodes each vector's bucket to its Hamming-1 probe
+    * set, so a pair is a candidate when its signatures agree on >=
+    * planes-1 bits in ANY table — at tau = 0.45 and (4 planes, 16
+    * tables) a qualifying pair is missed with p ~ 2e-6, which makes the
+    * output exact in practice (and oracle-checkable); verification is
+    * exact cosine on the candidates only. Corpus cost is linear: one
+    * bucket per (row, table) on the build side, (planes+1) probe rows on
+    * the other, never a cross join. */
+  def cosineNearDupPairs(spark: SparkSession, emb: DataFrame, tau: Double,
+      planes: Int = 4, tables: Int = 16): DataFrame = {
+    val bucketed = bucketsOf(emb, planes, tables)
+    val probes = probesUdf(planes)
+    val left = bucketed.select(col("t"), explode(probes(col("bucket"))).as("bucket"),
+      col("vec_id").as("a"))
+    val candIds = bucketed.select(col("t"), col("bucket"), col("vec_id").as("b"))
+      .join(left, Seq("t", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr("sqrt(aggregate(ea, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val nb = expr("sqrt(aggregate(eb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    candIds.join(va, "a").join(vb, "b")
+      .withColumn("cos", round(dot / (na * nb), 6))
+      .where(col("cos") >= tau)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** (vec_id, t, bucket) — one signature bucket per (row, table). */
+  private def bucketsOf(emb: DataFrame, planes: Int, tables: Int): DataFrame = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val signs = signMatrix(tables, planes, dim)
     val nPlanes = planes
     val nTables = tables
-    // one UDF call per row -> bucket for every table (16x fewer invocations
-    // and boxed-Seq traversals than a per-(row,table) UDF)
     val allSigs = udf { (v: Seq[Float]) =>
       val a = v.toArray
       val out = new Array[Int](nTables)
@@ -79,17 +107,27 @@ object Ann {
       }
       out
     }
-    val bucketed = emb
-      .select(col("vec_id"), posexplode(allSigs(col("embedding"))).as(Seq("t", "bucket")))
+    emb.select(col("vec_id"), posexplode(allSigs(col("embedding"))).as(Seq("t", "bucket")))
+  }
+
+  private def probesUdf(planes: Int) = udf { (bucket: Int) =>
+    bucket +: Array.tabulate(planes)(p => bucket ^ (1 << p))
+  }
+
+  /** Top-k neighbors of query vectors (vec_id < 3, mirroring the brute
+    * force baseline) from LSH buckets, exact-cosine reranked. */
+  def lshTopK(spark: SparkSession, emb: DataFrame, kNeighbors: Int, planes: Int, tables: Int): DataFrame = {
+    // one UDF call per row -> bucket for every table (16x fewer invocations
+    // and boxed-Seq traversals than a per-(row,table) UDF); the sign matrix
+    // is built once on the driver and shipped in the UDF closure
+    val bucketed = bucketsOf(emb, planes, tables)
     // multiprobe on the QUERY side only: besides its own bucket, each query
     // probes every Hamming-1 neighbor bucket (flip one plane bit). This
     // multiplies query-side rows by planes+1 — queries are the tiny side —
     // while the corpus keeps exactly one bucket per (row, table), so the
     // recall boost (a near-orthogonal neighbor only needs planes-1 of
     // planes bits to agree in SOME table) costs nothing at corpus scale.
-    val probes = udf { (bucket: Int) =>
-      bucket +: Array.tabulate(nPlanes)(p => bucket ^ (1 << p))
-    }
+    val probes = probesUdf(planes)
     val qb = bucketed.where(col("vec_id") < 3)
       .select(col("t"), explode(probes(col("bucket"))).as("bucket"), col("vec_id").as("qid"))
     // id-only candidates: dedup (qid, vec_id) across tables BEFORE any

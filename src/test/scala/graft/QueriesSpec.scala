@@ -87,6 +87,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ann lsh recall too low: $recall")
   }
 
+  test("q_embed_neardup equals brute-force cosine pairs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("b"), $"embedding".as("eb"))
+    val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr("sqrt(aggregate(ea, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val nb = expr("sqrt(aggregate(eb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val want = a.crossJoin(b).where($"a" < $"b")
+      .withColumn("cos", round(dot / (na * nb), 6)).where($"cos" >= 0.45)
+      .select($"a", $"b", $"cos").as[(Long, Long, Double)].collect().toSet
+    val got = q("q_embed_neardup").as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("q_shared_spans equals brute-force all-pairs suffix-array scan") {
     import graft.text.SuffixArray
     def cpLen(s: String): Int = s.codePointCount(0, s.length)
