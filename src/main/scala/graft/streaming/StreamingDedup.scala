@@ -27,6 +27,23 @@ final case class BucketState(members: Vector[String], hub: Option[String])
   */
 object StreamingDedup {
 
+  /** Streamed VERIFIED near-dup pairs: the incremental candidates joined
+    * (stream-static, append mode) against a precomputed per-clip shingle
+    * table, kept when exact Jaccard >= cfg.tau — the batch verify stage's
+    * precompute-and-join form under Structured Streaming. `payload` is
+    * the static side: (clip_id, sh) as produced by shingle_hashes over
+    * the reference corpus (at scale: the published signature table). */
+  def verifiedTextPairs(clips: DataFrame, payload: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val cands = textCandidatePairs(clips, cfg)
+    val withA = cands.join(payload.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
+    val withB = withA.join(payload.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val jac = try_divide(inter, size(col("sh_a")) + size(col("sh_b")) - inter)
+    withB.withColumn("jaccard", jac)
+      .where(col("jaccard") >= cfg.tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Text-LSH candidate pairs over a (possibly streaming) clips frame.
     * Output: (a, b, source) with a < b in string order; a pair colliding
     * in several bands can be emitted more than once (batch mode dedups

@@ -44,6 +44,38 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed verified pairs equal batch-verified J>=tau pairs (stream-static join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = DedupConfig()
+    val clips = gen.ClipGen.generate(spark, 200, seed = 42L)._1
+      .select($"clip_id", $"transcript").as[(String, String)].collect().toSeq
+    val payload = spark.createDataset(clips).toDF("clip_id", "transcript")
+      .select($"clip_id", graft.functions.shingle_hashes($"transcript", lit(cfg.shingleK)).as("sh"))
+    val mem = MemoryStream[(String, String)]
+    val out = StreamingDedup.verifiedTextPairs(
+      mem.toDF().toDF("clip_id", "transcript"), payload, cfg)
+    val q = out.writeStream.format("memory").queryName("sverify_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clips.grouped(80).foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+      val streamed = canon(spark.sql("SELECT a, b FROM sverify_out"))
+      // batch truth: candidates -> exact jaccard >= tau
+      val sigs = spark.createDataset(clips).toDF("clip_id", "transcript")
+        .select($"clip_id",
+          graft.functions.minhash_text($"transcript", cfg.shingleK, cfg.numPerms).as("minhash"))
+      val cands = Dedup.textCandidates(sigs, cfg)
+      val withA = cands.join(payload.select($"clip_id".as("a"), $"sh".as("sh_a")), "a")
+      val withB = withA.join(payload.select($"clip_id".as("b"), $"sh".as("sh_b")), "b")
+      val inter = size(array_intersect($"sh_a", $"sh_b")).cast("double")
+      val want = canon(withB
+        .withColumn("j", inter / (size($"sh_a") + size($"sh_b") - inter))
+        .where($"j" >= cfg.tau).select($"a", $"b"))
+      assert(streamed == want,
+        s"stream-only=${(streamed -- want).take(5)} batch-only=${(want -- streamed).take(5)}")
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("hot bucket overflows into star regime: bounded state, connected output") {
     implicit val sqlCtx = spark.sqlContext
     val cfg = DedupConfig(hotBucketLimit = 8)
