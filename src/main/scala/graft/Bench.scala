@@ -25,7 +25,7 @@ object Bench {
     "q_dedup_exact", "q_minhash_lsh_docs", "q_cc_clusters", "q_shared_spans",
     "q_token_stats", "q_quality", "q_fingerprint",
     "q_lang_id", "q_simhash_docs",
-    "q_ann_bruteforce", "q_ann_lsh", "q_embed_neardup",
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_embed_neardup",
     "q_multimodal_meta", "q_pipeline_clusters")
 
   def makeSession(cpus: String): SparkSession = {

@@ -279,6 +279,14 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF inverted-list ANN (seeded Lloyd codebook, nProbe lists,
+      // exact rerank) — rows-only gate; ScalaTest asserts recall vs
+      // brute force
+      graft.sim.Ann.ivfTopK(s, tbl(s, dir, "embeddings"), kNeighbors = 10)
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-duplicate pairs (training-data dedup):
       // LSH-bucketed candidates with Hamming-1 probes (miss p ~ 2e-6 at

@@ -87,6 +87,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ann lsh recall too low: $recall")
   }
 
+  test("ann ivf recall vs brute force (sf0.01: k << n, IVF's regime)") {
+    // at sf0.001 the corpus is 50 vectors and top-10 spans most inverted
+    // lists — no IVF parameterization is meaningful there
+    val dir = "/root/testdata/sf0.01"
+    val brute = SparkEntry.queries("q_ann_bruteforce")(spark, dir)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"ivf recall=$recall (${ivf.size} rows)")
+    assert(recall >= 0.9, s"ann ivf recall too low: $recall")
+  }
+
   test("q_embed_neardup equals brute-force cosine pairs") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
