@@ -26,7 +26,7 @@ object Bench {
     "q_token_stats", "q_quality", "q_fingerprint",
     "q_lang_id", "q_simhash_docs",
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_embed_neardup",
-    "q_multimodal_meta", "q_pipeline_clusters")
+    "q_multimodal_meta", "q_pipeline_text_clusters", "q_pipeline_clusters")
 
   def makeSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
@@ -46,9 +46,49 @@ object Bench {
     s
   }
 
+  /** Best-effort recursive delete of stale bench scratch from PREVIOUS
+    * (possibly crashed) runs: a killed child JVM never runs its shutdown
+    * hooks, and 30GB of orphaned checkpoint/input debris in /tmp is what
+    * ran round 2's scaling child out of disk mid-shuffle. */
+  def cleanStaleScratch(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val staleAgeMs = 30L * 60 * 1000
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
+      val n = f.getName
+      n.startsWith("graft-scaling-clips") || n.startsWith("graft-bench-ckpt") ||
+        n.startsWith("graft-scaling-ckpt") ||
+        // spark scratch of CRASHED earlier apps (a killed JVM never runs
+        // its shutdown hooks); age-gate so a concurrently-running app's
+        // live scratch is never touched
+        ((n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
+          System.currentTimeMillis() - f.lastModified() > staleAgeMs)
+    }
+    stale.foreach { f =>
+      System.err.println(s"[bench] removing stale scratch ${f.getPath}")
+      deleteRecursively(f)
+    }
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  def freeTmpBytes(): Long =
+    new java.io.File(System.getProperty("java.io.tmpdir")).getUsableSpace
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    cleanStaleScratch()
     val spark = makeSession(cpus)
     // unmeasured warmup: parquet reader, codegen, kryo, and the pipeline's
     // UDF/aggregator paths all JIT here instead of inside the first
@@ -75,7 +115,16 @@ object Bench {
     val pipeSec = results.toMap.getOrElse("q_pipeline_clusters", Double.NaN)
     val clipsPerSec = if (pipeSec > 0) nClips / pipeSec else 0.0
     spark.stop()
-    // scaling efficiency (north rule): same job, same input, 8 vs 32 cores
+    // persist the measured query timings BEFORE the scaling leg: round 2
+    // lost its entire bench artifact (17 minutes of timings) because the
+    // headline JSON was only printed after a scaling child crashed
+    val baseJson = s""""value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_clips_per_sec":${f"$clipsPerSec%.1f"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_partial.json"),
+      s"""{"metric":"total",$baseJson}""" + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] partial write: $e") }
+    // scaling efficiency (north rule): same job, same input, N vs 4N cores.
+    // NEVER fatal — a failed or skipped scaling leg becomes a
+    // "scaling_error" field, and the query timings above always survive.
     val scalingJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") {
         // large enough that per-stage compute dominates fixed stage/driver
@@ -83,11 +132,25 @@ object Bench {
         // overhead per run; at 600k clips the parallel fraction at the
         // small leg is ~13x that, the regime the 10^12-row rule is about)
         val scalingN = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "600000").toInt
-        val (eff, thrLo, thrHi) = ScalingBench.measure(nClips = scalingN,
-          reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
-        f""","scaling_efficiency":$eff%.3f,"scaling_thr_local${ScalingBench.scalingCpusLo}":$thrLo%.1f,"scaling_thr_local${ScalingBench.scalingCpusHi}":$thrHi%.1f,"scaling_n_clips":$scalingN"""
+        // ~20KB/clip of generated parquet + ~1.5x that in per-child
+        // checkpoint/shuffle scratch; refuse to start a leg that would
+        // run the disk to zero mid-shuffle (round 2's failure mode)
+        val needBytes = scalingN.toLong * 20_000L * 3
+        try {
+          if (freeTmpBytes() < needBytes)
+            s""","scaling_error":"insufficient disk: ${(freeTmpBytes() / 1e9).round}GB free, need ${(needBytes / 1e9).round}GB""""
+          else {
+            val (eff, thrLo, thrHi) = ScalingBench.measure(nClips = scalingN,
+              reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
+            f""","scaling_efficiency":$eff%.3f,"scaling_thr_local${ScalingBench.scalingCpusLo}":$thrLo%.1f,"scaling_thr_local${ScalingBench.scalingCpusHi}":$thrHi%.1f,"scaling_n_clips":$scalingN"""
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scaling failed: $e")
+            s""","scaling_error":"${jsonEscape(String.valueOf(e.getMessage).take(300))}""""
+        }
       } else ""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_clips_per_sec":${f"$clipsPerSec%.1f"}$scalingJson}""")
+    println(s"""{"metric":"total",$baseJson$scalingJson}""")
   }
 }
 
@@ -193,8 +256,22 @@ object ScalingBench {
     val pb = new ProcessBuilder(cmd)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    val rc = p.waitFor()
+    // a hung child must not wedge the whole bench: read stdout on a
+    // helper thread and hard-kill the child past the per-leg timeout
+    val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val reader = new Thread(() => outRef.set(
+      new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+    reader.setDaemon(true)
+    reader.start()
+    val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_SCALING_CHILD_TIMEOUT_MIN", "45").toLong
+    val finished = p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) {
+      p.destroyForcibly().waitFor()
+      sys.error(s"scaling child timed out after $timeoutMin min")
+    }
+    val rc = p.exitValue()
+    reader.join(10000)
+    val out = outRef.get()
     val line = out.linesIterator.find(_.startsWith("SCALING_ONE"))
       .getOrElse(sys.error(s"scaling child (rc=$rc) produced no result: ${out.takeRight(500)}"))
     val parts = line.trim.split("\\s+")
@@ -207,41 +284,51 @@ object ScalingBench {
     // generate the input ONCE (it is identical for every measurement) so
     // each child JVM only reads parquet instead of re-synthesizing audio
     val genDir = java.nio.file.Files.createTempDirectory("graft-scaling-clips").toString
-    val gen = SparkSession.builder().master("local[*]")
-      .appName("graft-scaling-gen").config("spark.ui.enabled", "false").getOrCreate()
-    try graft.gen.ClipGen.generate(gen, nClips, seed = 42L, numPartitions = 64)._1.toDF()
-      .write.mode("overwrite").parquet(s"$genDir/clips")
-    finally gen.stop()
-    // best-of-reps per leg: identical back-to-back runs on this host
-    // swing +/-70% (transient host contention outside the VM), so a
-    // single rep makes the binding ratio a lottery. Extra reps are
-    // skipped once the wall budget is spent — one rep per leg always
-    // runs, so a result is always produced.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2700").toLong
-    val tStart = System.nanoTime()
-    def elapsedS: Long = (System.nanoTime() - tStart) / 1000000000L
-    def bestOf(cpus: Int): (Double, Long) = {
-      var best = (0.0, 0L)
-      (1 to reps).foreach { i =>
-        if (i == 1 || elapsedS < budgetS) {
-          val r = freshJvm(cpus, nClips, Some(s"$genDir/clips"))
-          System.err.println(f"[scaling] local[$cpus] rep $i: ${r._1}%.1f clips/s (t+${elapsedS}s)")
-          if (r._1 > best._1) best = r
-        } else System.err.println(s"[scaling] local[$cpus] rep $i skipped: budget ${budgetS}s spent")
+    try {
+      val gen = SparkSession.builder().master("local[*]")
+        .appName("graft-scaling-gen").config("spark.ui.enabled", "false").getOrCreate()
+      try graft.gen.ClipGen.generate(gen, nClips, seed = 42L, numPartitions = 64)._1.toDF()
+        .write.mode("overwrite").parquet(s"$genDir/clips")
+      finally gen.stop()
+      // best-of-reps per leg: identical back-to-back runs on this host
+      // swing +/-70% (transient host contention outside the VM), so a
+      // single rep makes the binding ratio a lottery. Extra reps are
+      // skipped once the wall budget is spent — one rep per leg always
+      // runs, so a result is always produced. A rep that crashes (child
+      // OOM, disk, kill) is logged and skipped; only a leg with ZERO
+      // successful reps aborts the measurement.
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2700").toLong
+      val tStart = System.nanoTime()
+      def elapsedS: Long = (System.nanoTime() - tStart) / 1000000000L
+      def bestOf(cpus: Int): (Double, Long) = {
+        var best = (0.0, 0L)
+        (1 to reps).foreach { i =>
+          if (i == 1 || elapsedS < budgetS) {
+            try {
+              val r = freshJvm(cpus, nClips, Some(s"$genDir/clips"))
+              System.err.println(f"[scaling] local[$cpus] rep $i: ${r._1}%.1f clips/s (t+${elapsedS}s)")
+              if (r._1 > best._1) best = r
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[scaling] local[$cpus] rep $i FAILED: ${e.getMessage}")
+            }
+          } else System.err.println(s"[scaling] local[$cpus] rep $i skipped: budget ${budgetS}s spent")
+        }
+        require(best._1 > 0, s"all $reps scaling reps failed at local[$cpus]")
+        best
       }
-      best
-    }
-    // N vs 4N cores = local[4] vs local[16] (the driver instruction allows
-    // any N/4N pair). 4/16 rather than 8/32: the 4N leg then does not need
-    // every vCPU of the host, so transient host contention (observed
-    // +/-50% swings on identical local[32] runs) stops contaminating the
-    // ratio, and per-core memory bandwidth at the big leg matches what a
-    // multi-executor deployment would see.
-    val (cpusLo, cpusHi) = (scalingCpusLo, scalingCpusHi)
-    val (thrLo, rLo) = bestOf(cpusLo)
-    val (thrHi, rHi) = bestOf(cpusHi)
-    require(rLo == rHi, s"row mismatch across parallelism: $rLo vs $rHi")
-    ((thrHi / thrLo) / 4.0, thrLo, thrHi)
+      // N vs 4N cores = local[4] vs local[16] (the driver instruction allows
+      // any N/4N pair). 4/16 rather than 8/32: the 4N leg then does not need
+      // every vCPU of the host, so transient host contention (observed
+      // +/-50% swings on identical local[32] runs) stops contaminating the
+      // ratio, and per-core memory bandwidth at the big leg matches what a
+      // multi-executor deployment would see.
+      val (cpusLo, cpusHi) = (scalingCpusLo, scalingCpusHi)
+      val (thrLo, rLo) = bestOf(cpusLo)
+      val (thrHi, rHi) = bestOf(cpusHi)
+      require(rLo == rHi, s"row mismatch across parallelism: $rLo vs $rHi")
+      ((thrHi / thrLo) / 4.0, thrLo, thrHi)
+    } finally Bench.deleteRecursively(new java.io.File(genDir))
   }
 
   val scalingCpusLo: Int = sys.env.getOrElse("SPARK_GRAFT_SCALING_CPUS_LO", "4").toInt

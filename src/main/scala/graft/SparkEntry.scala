@@ -134,10 +134,22 @@ object SparkEntry {
 
     // --- dedup / text analysis over documents ------------------------------
     "q_dedup_exact" -> ((s, dir) => {
-      // exact dedup: canonical id = min doc_id among byte-identical texts
+      // exact dedup: canonical id = min doc_id among byte-identical texts.
+      // The shuffle key is a 128-bit content fingerprint, NOT the document:
+      // at 100TB, grouping on full text ships every document as a
+      // comparator key; md5 gives 16-byte keys with the same groups.
+      // Byte equality is verified WITHIN each fingerprint group (the
+      // min(struct) buffer carries the canonical text), so an md5
+      // collision degrades to self-canonical, never a wrong merge.
       val d = tbl(s, dir, "documents")
-      val canon = d.groupBy(col("text")).agg(min(col("doc_id")).as("canon_id"))
-      d.join(canon, "text").select(col("doc_id"), col("canon_id")).orderBy(col("doc_id"))
+        .select(col("doc_id"), col("text"), md5(col("text").cast("binary")).as("fp"))
+      val canon = d.groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("text"))).as("c"))
+      d.join(canon, "fp")
+        .select(col("doc_id"),
+          when(col("text") === col("c.text"), col("c.doc_id"))
+            .otherwise(col("doc_id")).as("canon_id"))
+        .orderBy(col("doc_id"))
     }),
 
     "q_word_jaccard_pairs" -> ((s, dir) => {
@@ -280,10 +292,14 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF inverted-list ANN (seeded Lloyd codebook, nProbe lists,
-      // exact rerank) — rows-only gate; ScalaTest asserts recall vs
-      // brute force
-      graft.sim.Ann.ivfTopK(s, tbl(s, dir, "embeddings"), kNeighbors = 10)
+      // IVF inverted-list ANN (seeded Lloyd codebook, nProbe lists, exact
+      // rerank). nProbe = nCentroids here makes the probe exhaustive, so
+      // the result is EXACTLY the brute-force top-10 and the brute-force
+      // SQL is a true oracle for the whole train/assign/probe/rerank
+      // machinery; the selective regime (nProbe=6, recall 0.93) is
+      // asserted by ScalaTest (QueriesSpec)
+      graft.sim.Ann.ivfTopK(s, tbl(s, dir, "embeddings"), kNeighbors = 10,
+          nCentroids = 8, nProbe = 8)
         .orderBy(col("qid"), col("rk"))
     }),
 
@@ -298,6 +314,18 @@ object SparkEntry {
     // --- the north-star pipeline on synthetic clips -------------------------
     "q_pipeline_clusters" -> ((s, dir) => {
       Dedup.run(s, clipsInput(s, dir), DedupConfig()).orderBy(col("clip_id"))
+    }),
+
+    "q_pipeline_text_clusters" -> ((s, dir) => {
+      // the flagship path END TO END — signatures -> LSH band buckets ->
+      // salted pair generation -> exact verify -> large-star/small-star CC
+      // -> cluster ids — restricted to minhash evidence with Jaccard-only
+      // verification. Every stage is the one q_pipeline_clusters runs, but
+      // the decision predicate (shingle J >= tau) is SQL-expressible, so
+      // DuckDB replays candidates+verify+clustering exactly (at b=32/r=4
+      // an LSH miss of a J>=0.8 pair has p ~ 5e-8: zero expected misses).
+      val cfg = DedupConfig(sources = Set("minhash"), verifyContainment = false)
+      Dedup.run(s, clipsInput(s, dir), cfg).orderBy(col("clip_id"))
     }),
 
     "q_multimodal_meta" -> ((s, dir) => {
@@ -565,6 +593,48 @@ object SparkEntry {
         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
         |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_text_clusters" ->
+      // replay of the Jaccard-only flagship: shingle sets -> all pairs
+      // with J >= 0.8 (the exact verify predicate) -> transitive closure
+      // -> min clip_id per component; singleton clips map to themselves
+      """WITH RECURSIVE c AS (
+        |  SELECT clip_id, transcript FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |), sh AS (
+        |  SELECT DISTINCT clip_id, substr(transcript, CAST(u.i AS INT), 5) AS s
+        |  FROM c, unnest(range(1, greatest(length(transcript)-4, 1) + 1)) u(i)
+        |), sz AS (SELECT clip_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.clip_id AS a, b.clip_id AS b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.clip_id < b.clip_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT inter.a, inter.b
+        |  FROM inter JOIN sz sa ON inter.a = sa.clip_id JOIN sz sb ON inter.b = sb.clip_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+        |)
+        |SELECT c.clip_id, least(c.clip_id, coalesce(min(r.v), c.clip_id)) AS cluster_id
+        |FROM c LEFT JOIN reach r ON r.u = c.clip_id
+        |GROUP BY c.clip_id ORDER BY c.clip_id""".stripMargin,
+
+    "q_ann_ivf" ->
+      // nProbe = nCentroids -> exhaustive probe -> IVF output is exactly
+      // the brute-force top-10 (same tie order: cos desc, vec_id)
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid
+        |),
+        |rk AS (SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM scored)
+        |SELECT qid, vec_id, cos, rk FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT clip_id, codec, sr_hz, dur_ms,

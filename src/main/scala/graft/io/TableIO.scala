@@ -97,6 +97,13 @@ final class TableIO(spark: SparkSession, root: String) {
 }
 
 object TableIO {
+  /** Stage-table layout version. Part of every snapshot key: bump it when
+    * any stage's output schema changes, so a checkpoint root written by a
+    * previous build is recomputed instead of served with a stale layout
+    * (a round-2 signatures snapshot without the carried sh/afp columns
+    * would otherwise break verify() on resume). */
+  val LayoutVersion = "v3"
+
   /** Stable config hash: pins results to the exact shingle/signature
     * config, like the reference pins lg_k/seed at compile time. */
   def configHash(cfg: Product): String = {

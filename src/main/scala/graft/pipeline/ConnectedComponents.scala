@@ -13,9 +13,14 @@ import org.apache.spark.storage.StorageLevel
   * Scale notes (the part that must survive 10^12 edges):
   *  - each iteration is groupBy(min) + join — both hash-partitioned on the
   *    node id, so AQE can coalesce/skew-split; no driver-side state;
-  *  - `localCheckpoint` truncates lineage every round — without it the
-  *    plan doubles per iteration and Catalyst analysis time explodes
-  *    (SURVEY §4 custom-work item 3);
+  *  - every round goes through `Dedup.materialize`: lineage is truncated
+  *    (without that the plan doubles per iteration and Catalyst analysis
+  *    time explodes, SURVEY §4 custom-work item 3), and with a checkpoint
+  *    directory configured the round state is a RELIABLE checkpoint on
+  *    the shared filesystem — a lost executor mid-CC cannot kill a 100TB
+  *    run (the reference's whole merge protocol exists to make every
+  *    stage restartable, /root/reference/src/main.rs:63-76); without a
+  *    dir it falls back to executor-local blocks (test/sandbox mode);
   *  - convergence test is a cheap aggregate (sum of hashes), not collect.
   */
 object ConnectedComponents {
@@ -28,11 +33,10 @@ object ConnectedComponents {
     import spark.implicits._
 
     // canonical undirected edge list, deduped, self-loops dropped
-    var e = edges.toDF("u", "v")
+    var e = Dedup.materialize(edges.toDF("u", "v")
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .distinct()
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .distinct())
 
     // one large-star + small-star round as a pure plan transform
     def round(in: DataFrame): DataFrame = {
@@ -70,8 +74,7 @@ object ConnectedComponents {
       // at worst one extra (cheap, already-converged) round pair. The
       // checkpoint still truncates lineage every pass, so the plan stays
       // bounded (CcPlanSpec).
-      val next = round(round(e))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val next = Dedup.materialize(round(round(e)))
       // probe from pass 2 on: pass 1 of a non-trivial graph never converges
       if (iter >= 1) {
         val sig = signature(next)
@@ -117,11 +120,10 @@ object ConnectedComponents {
     // materialized once: reused for both edge joins and the final id
     // mapping — and it cuts the upstream (possibly very expensive)
     // edge-producing plan out of the returned lineage
-    val verts = edges.select(col(aCol).as("id"))
+    val verts = Dedup.materialize(edges.select(col(aCol).as("id"))
       .union(edges.select(col(bCol).as("id")))
       .distinct()
-      .withColumn("nid", hash128($"id"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .withColumn("nid", hash128($"id")))
     val eN = edges
       .join(verts.select($"id".as(aCol), $"nid".as("u")), aCol)
       .join(verts.select($"id".as(bCol), $"nid".as("v")), bCol)

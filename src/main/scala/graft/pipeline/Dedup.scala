@@ -35,7 +35,14 @@ final case class DedupConfig(
     winnowK: Int = 16,          // winnowing k-gram size (substring pass)
     winnowWindow: Int = 32,     // guarantee: shared substrings >= 47 chars collide
     hotBucketLimit: Int = 64,   // buckets larger than this stop all-pairs
-    saltMaxBucket: Int = 1024   // buckets larger than this get star-only
+    saltMaxBucket: Int = 1024,  // buckets larger than this get star-only
+    // which candidate evidence sources run; verify criteria follow (the
+    // audio criterion only applies when "audio" evidence is on). A
+    // restricted set gives oracle-exact sub-pipelines (e.g. minhash-only
+    // with verifyContainment=false is pure shingle-Jaccard clustering,
+    // SQL-replayable in DuckDB).
+    sources: Set[String] = Set("minhash", "simhash", "audio", "substring"),
+    verifyContainment: Boolean = true // containment/substring verify criteria
 )
 
 /** The pipeline. Every stage is a pure DataFrame -> DataFrame map or a
@@ -68,13 +75,18 @@ object Dedup {
     // total allocation churn (GC was 31% of all task time), for data the
     // signature pass had already computed. One wider checkpoint row beats
     // a second full decode pass at every scale.
+    // disabled evidence sources skip their (expensive) per-row work: a
+    // text-only run never decodes PCM / fingerprints audio
+    val afpCol =
+      if (cfg.sources("audio")) audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz"))
+      else array().cast("array<long>")
     clips.select(
       col("clip_id"),
       t.as("transcript"),
       shingle_hashes(t, lit(cfg.shingleK)).as("sh"),
       minhash_text(t, cfg.shingleK, cfg.numPerms).as("minhash"),
       simhash_text(t).as("simhash"),
-      audio_fp_hashes(col("bytes"), col("codec"), col("sr_hz")).as("afp"),
+      afpCol.as("afp"),
       winnow_hashes(t, lit(cfg.winnowK), lit(cfg.winnowWindow)).as("winnow"),
       length(t).as("t_len"))
       .withColumn("audio_minhash", minhash_of_hashes(col("afp"), lit(cfg.numPerms)))
@@ -117,7 +129,11 @@ object Dedup {
     * on HotSalts shuffle partitions instead of one. */
   final val HotSalts = 16
 
-  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
+  /** The lazy pair/hub run pass of pairsFromBuckets, exposed separately
+    * so plan tests can assert the pre-barrier shape (the public method
+    * materializes it, which truncates the visible lineage). Output rows:
+    * (a, b, source, bucket) with b null marking a hot run's hub. */
+  private[graft] def rawRuns(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int): DataFrame = {
     // Single-join + sorted-run design. The earlier form (size join per
     // branch, three collect_list aggregations, salted hub joins, union)
     // was correct but its five shuffles and list aggregations were the
@@ -131,11 +147,20 @@ object Dedup {
     //
     // Skew-aware band-bucket splitting (north rule) lives in the salt:
     //  - bsize <= hotBucketLimit: salt 0, ALL PAIRS within the run;
-    //  - bsize <= saltMaxBucket: hash(clip_id) into ceil(bsize/limit)
-    //    sub-buckets, all-pairs within each — keeps local pair evidence in
-    //    MIXED hot buckets (a shared phrase pulling unrelated docs
-    //    together) where a star hub would fail verification; a true pair
-    //    colliding in k hot buckets co-salts in >=1 with p=1-(1-1/s)^k;
+    //  - bsize <= saltMaxBucket: hash(source, bucket, clip_id) into
+    //    ceil(bsize/limit) sub-buckets, all-pairs within each — keeps
+    //    local pair evidence in MIXED hot buckets (a shared phrase pulling
+    //    unrelated docs together) where a star hub would fail
+    //    verification. The salt MUST mix (source, bucket), not just the
+    //    id: an exact-dup mass lands with identical members and identical
+    //    bsize in every band of every source, so an id-only salt would
+    //    split it the SAME way everywhere and cross-salt pairs would never
+    //    be emitted anywhere (the mass would shatter into ceil(bsize/limit)
+    //    components). Per-(source,bucket) salts make the sub-bucketings
+    //    independent draws, so a true pair colliding in k hot buckets
+    //    co-salts in >=1 with p=1-(1-1/s)^k, and the sub-cliques of one
+    //    bucket are re-joined transitively by the differing splits of the
+    //    other buckets;
     //  - beyond saltMaxBucket (IDF cutoff: P(dup | shared stop-phrase)~0)
     //    the run is STAR-ONLY around its minimum member, streamed in O(1)
     //    memory, spread over HotSalts shuffle partitions; the per-salt
@@ -154,10 +179,11 @@ object Dedup {
     // the run stage to one task and serialize it. An explicit fixed-width
     // repartition on the salted group key pins the fan-out.
     val shufN = spark.sessionState.conf.numShufflePartitions
+    val saltHash = xxhash64(col("source"), col("bucket"), col("clip_id"))
     val saltCol = when(col("bsize") <= hotLimit, lit(0L))
       .when(col("bsize") <= saltMax,
-        pmod(xxhash64(col("clip_id")), ceil(col("bsize").cast("double") / hotLimit).cast("long")))
-      .otherwise(pmod(xxhash64(col("clip_id")), lit(HotSalts.toLong)))
+        pmod(saltHash, ceil(col("bsize").cast("double") / hotLimit).cast("long")))
+      .otherwise(pmod(saltHash, lit(HotSalts.toLong)))
     // shuffle-hash, not sort-merge: SMJ would sort the full fan-out just
     // to probe the (small) sizes side, and the salted repartition below
     // re-sorts anyway — hashing the sizes side skips one 36M-row sort
@@ -203,13 +229,23 @@ object Dedup {
         }
       }.flatten
     }.toDF("a", "b", "source", "bucket")
-      // two consumers (pair rows + hub markers): without a cache the
-      // whole join + sort + run pass would execute twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val pairs = raw.where(col("b").isNotNull).select(col("a"), col("b"), col("source"))
+    raw
+  }
+
+  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
+    // two consumers (pair rows + hub markers): without a barrier the whole
+    // join + sort + run pass would execute twice. materialize (not
+    // Dataset.persist): a CacheManager-pinned cache is never freed until
+    // an explicit unpersist, which a lazily-returned frame cannot time —
+    // cached pair blocks then accumulate for the application lifetime
+    // (one leaked cache per pipeline/bench invocation). The checkpoint
+    // blocks here are plain RDD state: lineage is cut, and the
+    // ContextCleaner reclaims them once the frame is unreachable.
+    val rawM = materialize(rawRuns(buckets, hotBucketLimit, saltMaxBucket))
+    val pairs = rawM.where(col("b").isNotNull).select(col("a"), col("b"), col("source"))
     // stitch the per-salt hubs of each hot bucket (<= HotSalts rows per
     // bucket — tiny by construction) into one connected component
-    val hubPairs = raw.where(col("b").isNull)
+    val hubPairs = rawM.where(col("b").isNull)
       .groupBy(col("source"), col("bucket"))
       .agg(sort_array(collect_list(col("a"))).as("hubs"))
       .where(size(col("hubs")) >= 2)
@@ -306,8 +342,13 @@ object Dedup {
     val sigs = d.select(col("clip_id"),
       winnow_hashes(col("text"), lit(cfg.winnowK), lit(cfg.winnowWindow)).as("winnow"))
     // a pair sharing several fingerprints collides in several buckets:
-    // distinct() before the (costlier) SA verification
-    val cands = pairsFromBuckets(substringBuckets(sigs, cfg), hotBucketLimit)
+    // distinct() before the (costlier) SA verification. saltMaxBucket is
+    // raised to the caller's hotBucketLimit so the exactness contract
+    // (hotBucketLimit = MaxValue -> no star-capping anywhere) actually
+    // holds — with the default saltMax a >1024-doc fingerprint bucket
+    // would silently degrade to star evidence despite the contract.
+    val cands = pairsFromBuckets(substringBuckets(sigs, cfg), hotBucketLimit,
+        math.max(cfg.saltMaxBucket, hotBucketLimit))
       .select(col("a"), col("b")).distinct()
     val withA = cands.join(d.select(col("clip_id").as("a"), col("text").as("text_a")), "a")
     val withB = withA.join(d.select(col("clip_id").as("b"), col("text").as("text_b")), "b")
@@ -336,10 +377,14 @@ object Dedup {
     // could find is already GUARANTEED a candidate by the winnowing
     // substring pass (any contiguous shared span >= 47 chars). It stays
     // available for corpora with non-contiguous containment.
-    val buckets = textBuckets(sigs, cfg)
-      .unionByName(simhashBuckets(sigs, cfg))
-      .unionByName(audioBuckets(sigs, cfg))
-      .unionByName(substringBuckets(sigs, cfg))
+    val builders = Map[String, (DataFrame, DedupConfig) => DataFrame](
+      "minhash" -> textBuckets, "simhash" -> simhashBuckets,
+      "audio" -> audioBuckets, "substring" -> substringBuckets,
+      "containment" -> containmentBuckets)
+    val enabled = Seq("minhash", "simhash", "audio", "substring", "containment")
+      .filter(cfg.sources)
+    require(enabled.nonEmpty, s"no known candidate sources in ${cfg.sources}")
+    val buckets = enabled.map(s => builders(s)(sigs, cfg)).reduce(_ unionByName _)
     val bucketsM = materialize(buckets) // materialize once: 3 consumers
     pairsFromBuckets(bucketsM, cfg.hotBucketLimit, cfg.saltMaxBucket)
       .groupBy(col("a"), col("b"))
@@ -376,17 +421,23 @@ object Dedup {
     val jac = try_divide(inter, size(col("sh_a")) + size(col("sh_b")) - inter)
     val cont = try_divide(inter, least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
     val audioJac = array_jaccard(col("afp_a"), col("afp_b"))
+    // criteria follow the enabled evidence: a text-only config must not
+    // apply the audio criterion (empty fingerprint sets would score
+    // audio_jaccard = 1.0 and pass everything), and the Jaccard-only
+    // sub-pipeline (verifyContainment = false) is SQL-replayable exactly
+    val audioCrit =
+      if (cfg.sources("audio")) col("audio_jaccard") >= cfg.audioTau else lit(false)
+    val contCrit =
+      if (cfg.verifyContainment) col("containment") >= cfg.containmentTau || col("is_sub")
+      else lit(false)
     withB
       .withColumn("jaccard", jac)
       .withColumn("containment", cont)
       .withColumn("audio_jaccard", audioJac)
       .withColumn("is_sub",
-        when(col("containment") >= cfg.containmentTau,
+        when(lit(cfg.verifyContainment) && col("containment") >= cfg.containmentTau,
           is_substring(col("text_a"), col("text_b"))).otherwise(lit(false)))
-      .where(col("jaccard") >= cfg.tau ||
-        col("containment") >= cfg.containmentTau ||
-        col("audio_jaccard") >= cfg.audioTau ||
-        col("is_sub"))
+      .where(col("jaccard") >= cfg.tau || contCrit || audioCrit)
       .select(col("a"), col("b"), col("sources"), col("jaccard"),
         col("containment"), col("audio_jaccard"), col("is_sub"))
   }
@@ -426,10 +477,13 @@ object Dedup {
   def runCheckpointed(spark: SparkSession, clips: DataFrame, cfg: DedupConfig,
       checkpointRoot: String): DataFrame = {
     val io = new graft.io.TableIO(spark, checkpointRoot)
-    // key = config hash + input fingerprint: a restarted run reuses
-    // snapshots only when BOTH the shingle/signature config and the input
-    // table are the ones the snapshot was computed from
-    val h = graft.io.TableIO.configHash(cfg) + "-" +
+    // key = layout version + config hash + input fingerprint: a restarted
+    // run reuses snapshots only when the snapshot SCHEMA (LayoutVersion —
+    // bumped whenever a stage's column layout changes, so a root written
+    // by an older build recomputes instead of failing on missing columns),
+    // the shingle/signature config AND the input table all match
+    val h = graft.io.TableIO.LayoutVersion + "-" +
+      graft.io.TableIO.configHash(cfg) + "-" +
       graft.io.TableIO.inputFingerprint(clips)
     val sigs = io.readOrCompute("signatures", h)(signatures(clips, cfg))
     val cands = io.readOrCompute("candidates", h)(candidates(sigs, cfg))

@@ -98,7 +98,8 @@ object Ann {
     * nProbe << nCentroids — the list join is the partitioning story, the
     * knobs trade recall for scan fraction exactly as here. */
   def ivfTopK(spark: SparkSession, emb: DataFrame, kNeighbors: Int,
-      nCentroids: Int = 8, nProbe: Int = 6, iters: Int = 5): DataFrame = {
+      nCentroids: Int = 8, nProbe: Int = 6, iters: Int = 5,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") < 3): DataFrame = {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     // deterministic seeded init: nCentroids vectors in hash order
@@ -107,37 +108,62 @@ object Ann {
       .limit(nCentroids)
       .select(col("embedding")).as[Seq[Float]].collect()
       .map(_.toArray.map(_.toDouble))
-    def assignUdf(cs: Array[Array[Double]], topN: Int) = udf { (v: Seq[Float]) =>
+    // the codebook travels as an EXPLICIT broadcast (one copy per
+    // executor, not one per task closure) with centroid norms computed
+    // ONCE here — at the sqrt(n)-centroid parameterization real scale
+    // uses, a closure-captured codebook re-normed per row was a
+    // multi-GB-per-task-ship driver bottleneck (round-2 verdict #5)
+    def broadcastCodebook(cs: Array[Array[Double]]) =
+      spark.sparkContext.broadcast(
+        (cs, cs.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))))
+    def assignUdf(bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Double]], Array[Double])],
+        topN: Int) = udf { (v: Seq[Float]) =>
       // nearest centroids by cosine (all inputs are compared normalized)
+      val (cs, cnorms) = bc.value
       val a = v.toArray
       val norm = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
-      val scored = cs.zipWithIndex.map { case (c, i) =>
+      val scored = Array.tabulate(cs.length) { i =>
+        val c = cs(i)
         var dot = 0.0; var d = 0
-        val cn = math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x))
         while (d < a.length) { dot += a(d) * c(d); d += 1 }
-        (dot / (norm * cn + 1e-12), i)
+        (dot / (norm * cnorms(i) + 1e-12), i)
       }
       scored.sortBy(-_._1).take(topN).map(_._2)
     }
+    val vecSum = udaf(new VecSumAgg(dim))
     var it = 0
     while (it < iters) {
-      // re-center: per-dimension mean of each centroid's members — the
-      // shuffle carries (cid, dim) partial sums only, never vectors
-      val assigned = emb.select(assignUdf(centroids, 1)(col("embedding"))(0).as("cid"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      val means = assigned.groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .as[(Int, Int, Double)].collect()
+      // re-center as ONE DataFrame aggregation returning nCentroids rows
+      // (cid, elementwise-sum vector, count): partial aggregation sums
+      // vectors map-side, the shuffle moves nCentroids x dim doubles per
+      // partition, and the only driver collect is the codebook itself —
+      // which must live on the driver regardless. (The earlier posexplode
+      // + groupBy(cid, pos) form collected nCentroids*dim rows per
+      // iteration and re-shipped the codebook in every task closure.)
+      val bc = broadcastCodebook(centroids)
+      val stats = emb
+        .select(assignUdf(bc, 1)(col("embedding"))(0).as("cid"), col("embedding"))
+        .groupBy(col("cid"))
+        .agg(vecSum(col("embedding")).as("sv"), count(lit(1)).as("n"))
+        .collect()
       val next = centroids.map(_.clone())
-      means.foreach { case (cid, pos, m) => next(cid)(pos) = m }
+      stats.foreach { r =>
+        val cid = r.getInt(0)
+        val sv = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        var d = 0
+        while (d < dim) { next(cid)(d) = sv(d) / n; d += 1 }
+      }
+      bc.unpersist(blocking = false)
       centroids = next
       it += 1
     }
+    val bcFinal = broadcastCodebook(centroids)
     val lists = emb.select(col("vec_id"), col("embedding"),
-      assignUdf(centroids, 1)(col("embedding"))(0).as("cid"))
-    val queries = lists.where(col("vec_id") < 3)
+      assignUdf(bcFinal, 1)(col("embedding"))(0).as("cid"))
+    val queries = lists.where(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        explode(assignUdf(centroids, nProbe)(col("embedding"))).as("cid"))
+        explode(assignUdf(bcFinal, nProbe)(col("embedding"))).as("cid"))
     val cands = lists.join(broadcast(queries), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
     val dot = expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
@@ -182,6 +208,30 @@ object Ann {
 
   private def probesUdf(planes: Int) = udf { (bucket: Int) =>
     bucket +: Array.tabulate(planes)(p => bucket ^ (1 << p))
+  }
+
+  /** Elementwise float-vector sum as a typed Aggregator: O(dim) state per
+    * group, map-side partial aggregation — the distributed half of a
+    * Lloyd re-centering step (the other half, sum/count, is the tiny
+    * driver-side codebook update). */
+  private final class VecSumAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+    def zero: Array[Double] = new Array[Double](dim)
+    def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      var d = 0
+      while (d < dim) { b(d) += v(d); d += 1 }
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var d = 0
+      while (d < dim) { x(d) += y(d); d += 1 }
+      x
+    }
+    def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
   /** Top-k neighbors of query vectors (vec_id < 3, mirroring the brute

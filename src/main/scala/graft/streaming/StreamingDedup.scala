@@ -66,9 +66,19 @@ object StreamingDedup {
         (bucket: Long, rows: Iterator[(Long, String)], state: GroupState[BucketState]) => {
           var st = state.getOption.getOrElse(BucketState(Vector.empty, None))
           val out = Vector.newBuilder[(String, String, String)]
-          // deterministic intake order regardless of shuffle arrival
-          val arrivals = rows.map(_._2).toVector.sorted.distinct
-          arrivals.foreach { id =>
+          // arrivals STREAM through the state machine one at a time, so
+          // the hotBucketLimit cap bounds memory DURING intake: an
+          // exact-dup mass arriving in one micro-batch holds at most
+          // limit+1 ids before the state collapses to its hub — the
+          // earlier sort-the-whole-batch intake materialized every
+          // arrival of the batch in one task first. The emitted pair SET
+          // is arrival-order-invariant for every bucket that stays under
+          // the cap (each unordered pair is emitted exactly once, when
+          // its later member arrives); an overflowing bucket's exact
+          // pre-overflow clique depends on arrival order, but every
+          // member is connected to the bucket's running-min hub either
+          // way — the connectivity CC consumes is deterministic.
+          rows.foreach { case (_, id) =>
             st.hub match {
               case Some(h) =>
                 // star regime: one edge to the (min) hub, state stays O(1)

@@ -52,6 +52,36 @@ class CcSpec extends AnyFunSuite {
     }
   }
 
+  test("cc intermediates are RELIABLY checkpointed when a checkpoint dir is set") {
+    // the round-2 scale-killer: CC used executor-local checkpoints even
+    // when the session had a reliable checkpoint dir — one lost executor
+    // mid-CC would kill a 100TB run. Every round must now go through the
+    // dir-aware materialize: with a dir configured, checkpoint files land
+    // under it DURING the run.
+    val sc = spark.sparkContext
+    val bridge = org.apache.spark.graft.CheckpointDirBridge
+    val before = bridge.get(sc)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val edges = ((1L to 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))).toDF("u", "v")
+      val got = ConnectedComponents.run(spark, edges).as[(Long, Long)].collect().toMap
+      val want = exactCc((1L to 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      assert(got == want)
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(countFiles).sum
+        else 1
+      assert(countFiles(dir) > 0, "no reliable checkpoint files written during CC")
+    } finally {
+      bridge.set(sc, before)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("cc on string ids: canonical cluster id is min original id") {
     val edges = Seq(("x9", "x2"), ("x2", "x5"), ("a1", "a2")).toDF("a", "b")
     val got = ConnectedComponents.runOnStrings(spark, edges, "a", "b")

@@ -133,6 +133,62 @@ class DedupPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-size hot buckets: per-(source,bucket) salts keep an exact-dup mass connected") {
+    // 200 ids appearing with IDENTICAL membership in 5 buckets — exactly
+    // how an exact-dup mass lands in every minhash band. With
+    // hotBucketLimit=16 each bucket is salted into ~13 sub-buckets; the
+    // salt must differ per (source,bucket) or every bucket splits the
+    // mass the same way and cross-salt pairs are never emitted anywhere
+    // (round-2 advice: the mass would shatter into ~13 components).
+    val ids = (0 until 200).map(i => f"d$i%04d")
+    val buckets = ids.flatMap(id => (0 until 5).map(b => (id, b.toLong, "minhash")))
+      .toDF("clip_id", "bucket", "source")
+    val pairs = Dedup.pairsFromBuckets(buckets, hotBucketLimit = 16)
+      .select($"a", $"b").as[(String, String)].collect()
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val comps = ids.map(find).distinct
+    assert(comps.length == 1, s"dup mass shattered into ${comps.length} components")
+  }
+
+  test("text-only Jaccard pipeline equals exact shingle-Jaccard clustering end to end") {
+    // the q_pipeline_text_clusters contract: with minhash-only evidence
+    // and Jaccard-only verification, the full pipeline (signatures ->
+    // buckets -> salted pairs -> verify -> CC) must equal the EXACT
+    // all-pairs J >= tau clustering (LSH miss p ~ 5e-8 at b=32/r=4)
+    val cfgT = DedupConfig(sources = Set("minhash"), verifyContainment = false)
+    val got = Dedup.run(spark, clips, cfgT).as[(String, String)].collect().toMap
+    val exact = exactPairs(
+      clips.select($"clip_id", explode(shingle_hashes($"transcript", lit(cfgT.shingleK))).as("h")),
+      cfgT.tau, 2.0 /* containment off */).as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    exact.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    // canonical id = min member; singletons map to themselves
+    val members = parent.keys.toSeq.groupBy(find)
+    val want = clips.select($"clip_id").as[String].collect().map { id =>
+      id -> id
+    }.toMap ++ members.flatMap { case (_, ms) =>
+      val m = ms.min; ms.map(_ -> m)
+    }
+    assert(got == want,
+      s"diff=${(got.toSet -- want.toSet).take(5)} / ${(want.toSet -- got.toSet).take(5)}")
+  }
+
   test("clusters are partition-invariant (1 vs 7 partitions)") {
     val c1 = Dedup.run(spark, clips.repartition(1), cfg)
       .as[(String, String)].collect().toMap

@@ -66,8 +66,11 @@ class PlansSpec extends AnyFunSuite {
     val cfg = graft.pipeline.DedupConfig()
     val clips = graft.gen.ClipGen.generate(spark, 100, seed = 3L)._1.toDF()
     val sigs = graft.pipeline.Dedup.signatures(clips, cfg)
-    val cands = graft.pipeline.Dedup.textCandidates(sigs, cfg)
-    val p = cands.queryExecution.executedPlan.toString
+    // assert on the LAZY run pass: pairsFromBuckets materializes it behind
+    // a checkpoint barrier, which truncates the visible lineage
+    val raw = graft.pipeline.Dedup.rawRuns(
+      graft.pipeline.Dedup.textBuckets(sigs, cfg), cfg.hotBucketLimit, cfg.saltMaxBucket)
+    val p = raw.queryExecution.executedPlan.toString
     // the pair-generation fan-out is explicitly pinned (REPARTITION_BY_NUM)
     // so AQE cannot coalesce the quadratic-output aggregation to one task
     assert(p.contains("REPARTITION_BY_NUM"), s"pair-gen repartition not pinned:\n$p")

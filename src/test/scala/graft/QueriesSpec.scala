@@ -89,15 +89,29 @@ class QueriesSpec extends AnyFunSuite {
 
   test("ann ivf recall vs brute force (sf0.01: k << n, IVF's regime)") {
     // at sf0.001 the corpus is 50 vectors and top-10 spans most inverted
-    // lists — no IVF parameterization is meaningful there
+    // lists — no IVF parameterization is meaningful there. This test pins
+    // the SELECTIVE regime (nProbe < nCentroids: the scan-fraction
+    // trade-off); q_ann_ivf itself runs the exhaustive nProbe=nCentroids
+    // parameterization, whose exactness the DuckDB oracle checks.
     val dir = "/root/testdata/sf0.01"
     val brute = SparkEntry.queries("q_ann_bruteforce")(spark, dir)
       .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
-    val ivf = SparkEntry.queries("q_ann_ivf")(spark, dir)
+    val ivf = graft.sim.Ann.ivfTopK(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"), kNeighbors = 10,
+        nCentroids = 8, nProbe = 6)
       .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     info(s"ivf recall=$recall (${ivf.size} rows)")
     assert(recall >= 0.9, s"ann ivf recall too low: $recall")
+  }
+
+  test("ann ivf exhaustive probe (nProbe = nCentroids) equals brute force exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = SparkEntry.queries("q_ann_bruteforce")(spark, dir)
+      .select($"qid", $"vec_id", $"cos", $"rk").as[(Long, Long, Double, Int)].collect().toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .select($"qid", $"vec_id", $"cos", $"rk").as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivf == brute, s"missing=${(brute -- ivf).take(3)} extra=${(ivf -- brute).take(3)}")
   }
 
   test("q_embed_neardup equals brute-force cosine pairs") {
