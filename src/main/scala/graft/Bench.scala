@@ -208,15 +208,18 @@ object ScalingBench {
       // the 8->32 comparison was meaningless (observed 8.5x "speedup")
       val warm = graft.gen.ClipGen.generate(spark, 2000, seed = 7L, numPartitions = 16)._1.toDF()
       graft.pipeline.Dedup.run(spark, warm, graft.pipeline.DedupConfig()).count()
+      // the parquet input IS the storage layer: read it directly in the
+      // measured window (vectorized columnar scan), exactly what a real
+      // cluster does. The earlier DISK_ONLY persist re-wrote the input as
+      // ~2x java-serialized blocks per child (25+ GB scratch, row-at-a-
+      // time deserialization in every downstream read) for no fairness
+      // gain — both legs read the same files either way. The generator
+      // wrote 64 files, so both legs see the same splits.
       val clips = clipsPath
-        .map(p => spark.read.parquet(p).repartition(64))
-        .getOrElse(graft.gen.ClipGen.generate(spark, nClips, seed = 42L, numPartitions = 64)._1.toDF())
-        // DISK_ONLY: 15 GB of input cached deserialized in-heap was pure
-        // GC ballast for the measured window (multi-hundred-second GC in
-        // downstream stages at 32 threads); columnar batches on local disk
-        // mirror how a real cluster reads input from storage
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val n = clips.count() // materialize input outside the timed window
+        .map(p => spark.read.parquet(p))
+        .getOrElse(graft.gen.ClipGen.generate(spark, nClips, seed = 42L, numPartitions = 64)._1.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val n = clips.count() // warm page cache / materialize outside the timed window
       val t0 = System.nanoTime()
       val out = graft.pipeline.Dedup.run(spark, clips, graft.pipeline.DedupConfig())
       val rows = out.count()
@@ -365,9 +368,9 @@ object StageBench {
     // warmup (JIT/codegen), unmeasured
     Dedup.run(spark, graft.gen.ClipGen.generate(spark, 2000, seed = 7L, numPartitions = 16)._1.toDF(), cfg).count()
     val clips = args.lift(2)
-      .map(p => spark.read.parquet(p).repartition(64))
-      .getOrElse(graft.gen.ClipGen.generate(spark, nClips, seed = 42L, numPartitions = 64)._1.toDF())
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .map(p => spark.read.parquet(p))
+      .getOrElse(graft.gen.ClipGen.generate(spark, nClips, seed = 42L, numPartitions = 64)._1.toDF()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     clips.count()
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()

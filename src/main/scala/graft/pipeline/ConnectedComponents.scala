@@ -36,7 +36,7 @@ object ConnectedComponents {
     var e = Dedup.materialize(edges.toDF("u", "v")
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-      .distinct())
+      .distinct(), StorageLevel.MEMORY_AND_DISK_SER)
 
     // one large-star + small-star round as a pure plan transform
     def round(in: DataFrame): DataFrame = {
@@ -68,13 +68,14 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     var prevSig: Option[Row2] = None
+    val tLoop = System.nanoTime()
     while (!converged && iter < maxIter) {
       // TWO rounds per materialization + probe: the driver-serial loop's
       // fixed latency (checkpoint barrier + probe job per pass) halves,
       // at worst one extra (cheap, already-converged) round pair. The
       // checkpoint still truncates lineage every pass, so the plan stays
       // bounded (CcPlanSpec).
-      val next = Dedup.materialize(round(round(e)))
+      val next = Dedup.materialize(round(round(e)), StorageLevel.MEMORY_AND_DISK_SER)
       // probe from pass 2 on: pass 1 of a non-trivial graph never converges
       if (iter >= 1) {
         val sig = signature(next)
@@ -86,6 +87,10 @@ object ConnectedComponents {
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter iterations")
+    // driver-serial loop latency is the scaling-efficiency suspect #1:
+    // always log how much wall time the iterations cost
+    System.err.println(
+      f"[cc] converged after $iter round-pairs in ${(System.nanoTime() - tLoop) / 1e9}%.1f s")
 
     // after convergence every edge is (root, member); emit members + roots
     val out = e.select($"v".as("node"), $"u".as("component"))
@@ -123,7 +128,7 @@ object ConnectedComponents {
     val verts = Dedup.materialize(edges.select(col(aCol).as("id"))
       .union(edges.select(col(bCol).as("id")))
       .distinct()
-      .withColumn("nid", hash128($"id")))
+      .withColumn("nid", hash128($"id")), StorageLevel.MEMORY_AND_DISK_SER)
     val eN = edges
       .join(verts.select($"id".as(aCol), $"nid".as("u")), aCol)
       .join(verts.select($"id".as(bCol), $"nid".as("v")), bCol)

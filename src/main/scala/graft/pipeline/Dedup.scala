@@ -97,7 +97,9 @@ object Dedup {
     * RELIABLE checkpoint (blocks on the shared filesystem — an executor
     * loss cannot kill the run, the 100TB default); without one it falls
     * back to executor-local blocks (fast, test/sandbox mode). */
-  private[graft] def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame,
+      localLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.DISK_ONLY): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // persist first: an eager reliable checkpoint runs TWO jobs (the
       // eager action, then the checkpoint write) and recomputes the whole
@@ -109,12 +111,14 @@ object Dedup {
       cached.unpersist(blocking = false)
       out
     } else
-      // DISK_ONLY, deliberately: the signature + payload checkpoints are
+      // DISK_ONLY by default: the signature + payload checkpoints are
       // ~10 GB serialized at 600k clips, and keeping them heap-resident
       // (MEMORY_AND_DISK_SER) drove ParallelGC into multi-second full
       // collections that inflated the high-core leg superlinearly; local
-      // SSD blocks cost a re-read but zero GC
-      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // SSD blocks cost a re-read but zero GC. Small frames (CC rounds,
+      // verified edges) pass MEMORY_AND_DISK_SER instead — a disk round
+      // trip per CC iteration is pure serial latency for kilobyte state.
+      df.localCheckpoint(true, localLevel)
 
   /** Generic LSH bucket -> candidate pair stage with skew-aware splitting.
     * input: (clip_id, bucket LONG, source); output: (a, b, source), a < b.
@@ -129,10 +133,17 @@ object Dedup {
     * on HotSalts shuffle partitions instead of one. */
   final val HotSalts = 16
 
-  /** The lazy pair/hub run pass of pairsFromBuckets, exposed separately
-    * so plan tests can assert the pre-barrier shape (the public method
-    * materializes it, which truncates the visible lineage). Output rows:
-    * (a, b, source, bucket) with b null marking a hot run's hub. */
+  /** Per-(source,bucket) size table: bucket fan-out reduced map-side to
+    * one row per bucket with >= 2 members. */
+  private def bucketSizes(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") >= 2)
+
+  /** The lazy pair run pass of pairsFromBuckets, exposed separately so
+    * plan tests can assert its shape. Output rows: (a, b, source) — all
+    * pairs within small/salted runs, star edges around the per-salt min
+    * for hot runs (hub stitching happens in pairsFromBuckets). */
   private[graft] def rawRuns(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int): DataFrame = {
     // Single-join + sorted-run design. The earlier form (size join per
     // branch, three collect_list aggregations, salted hub joins, union)
@@ -171,9 +182,7 @@ object Dedup {
     import spark.implicits._
     val hotLimit = hotBucketLimit
     val saltMax = saltMaxBucket
-    val sizes = buckets.groupBy(col("source"), col("bucket"))
-      .agg(count(lit(1)).as("bsize"))
-      .where(col("bsize") >= 2)
+    val sizes = bucketSizes(buckets)
     // pair generation is OUTPUT-heavy (quadratic in group size) while its
     // shuffle INPUT is tiny, so AQE's bytes-based coalescing would shrink
     // the run stage to one task and serialize it. An explicit fixed-width
@@ -193,34 +202,35 @@ object Dedup {
       .sortWithinPartitions(col("source"), col("bucket"), col("salt"), col("clip_id"))
       .select(col("source"), col("bucket"), col("salt"), col("clip_id"), col("bsize"))
       .as[(String, Long, Long, String, Long)]
-    // streaming run pass; output (a, b, source, bucket) where a null b
-    // marks a hot run's hub (bucket kept only for hub stitching)
+    // streaming run pass; output (a, b, source) pair rows only (hot-run
+    // hubs are recovered by a separate cheap aggregation — see
+    // pairsFromBuckets — so this pass has ONE consumer and needs no
+    // cache/checkpoint barrier)
     val raw = parted.mapPartitions { rows =>
       val it = rows.buffered
-      new scala.collection.AbstractIterator[Iterator[(String, String, String, Long)]] {
+      new scala.collection.AbstractIterator[Iterator[(String, String, String)]] {
         def hasNext: Boolean = it.hasNext
-        def next(): Iterator[(String, String, String, Long)] = {
+        def next(): Iterator[(String, String, String)] = {
           val (src, bkt, salt, firstId, bsize) = it.next()
           def sameRun: Boolean = it.hasNext && {
             val h = it.head; h._1 == src && h._2 == bkt && h._3 == salt
           }
           if (bsize > saltMax) {
             // hot: stream star around the run's min (first in sorted order)
-            val star = new scala.collection.AbstractIterator[(String, String, String, Long)] {
+            new scala.collection.AbstractIterator[(String, String, String)] {
               def hasNext: Boolean = sameRun
-              def next(): (String, String, String, Long) = (firstId, it.next()._4, src, bkt)
+              def next(): (String, String, String) = (firstId, it.next()._4, src)
             }
-            star ++ Iterator.single((firstId, null, src, bkt))
           } else {
             // small run / salted sub-run: buffer (<= saltMax ids), all pairs
             val m = scala.collection.mutable.ArrayBuffer(firstId)
             while (sameRun) m += it.next()._4
             if (m.length < 2) Iterator.empty
-            else new scala.collection.AbstractIterator[(String, String, String, Long)] {
+            else new scala.collection.AbstractIterator[(String, String, String)] {
               private var i = 0; private var j = 1
               def hasNext: Boolean = i < m.length - 1
-              def next(): (String, String, String, Long) = {
-                val out = (m(i), m(j), src, bkt)
+              def next(): (String, String, String) = {
+                val out = (m(i), m(j), src)
                 j += 1; if (j == m.length) { i += 1; j = i + 1 }
                 out
               }
@@ -228,26 +238,29 @@ object Dedup {
           }
         }
       }.flatten
-    }.toDF("a", "b", "source", "bucket")
+    }.toDF("a", "b", "source")
     raw
   }
 
   def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
-    // two consumers (pair rows + hub markers): without a barrier the whole
-    // join + sort + run pass would execute twice. materialize (not
-    // Dataset.persist): a CacheManager-pinned cache is never freed until
-    // an explicit unpersist, which a lazily-returned frame cannot time —
-    // cached pair blocks then accumulate for the application lifetime
-    // (one leaked cache per pipeline/bench invocation). The checkpoint
-    // blocks here are plain RDD state: lineage is cut, and the
-    // ContextCleaner reclaims them once the frame is unreachable.
-    val rawM = materialize(rawRuns(buckets, hotBucketLimit, saltMaxBucket))
-    val pairs = rawM.where(col("b").isNotNull).select(col("a"), col("b"), col("source"))
-    // stitch the per-salt hubs of each hot bucket (<= HotSalts rows per
-    // bucket — tiny by construction) into one connected component
-    val hubPairs = rawM.where(col("b").isNull)
+    val pairs = rawRuns(buckets, hotBucketLimit, saltMaxBucket)
+    // stitch the per-salt hubs of each hot bucket into one connected
+    // component. The hub of a hot salt-run is, by construction, the min
+    // clip_id of (source, bucket, salt) — recomputed here as a standalone
+    // aggregation instead of a second consumer of the run pass: an eager
+    // cache/checkpoint of the (huge) pair output added a blocking job and
+    // a full disk round-trip to every pipeline run, pure serial time at
+    // the scaling-rule's small-cluster leg. The hot-sizes side is
+    // BOUNDED: at most |buckets|/saltMaxBucket rows (a bucket must have
+    // > saltMax members to qualify), so the broadcast can never blow up.
+    val hotSizes = bucketSizes(buckets).where(col("bsize") > saltMaxBucket)
+    val saltHash = xxhash64(col("source"), col("bucket"), col("clip_id"))
+    val hubPairs = buckets.join(broadcast(hotSizes), Seq("source", "bucket"))
+      .groupBy(col("source"), col("bucket"),
+        pmod(saltHash, lit(HotSalts.toLong)).as("salt"))
+      .agg(min(col("clip_id")).as("hub"))
       .groupBy(col("source"), col("bucket"))
-      .agg(sort_array(collect_list(col("a"))).as("hubs"))
+      .agg(sort_array(collect_list(col("hub"))).as("hubs"))
       .where(size(col("hubs")) >= 2)
       .select(col("source"), col("hubs")(0).as("a"), explode(slice(col("hubs"), 2, HotSalts)).as("b"))
       .select(col("a"), col("b"), col("source"))
@@ -447,8 +460,10 @@ object Dedup {
     * Unmatched clips keep themselves as singleton clusters. */
   def clusters(spark: SparkSession, clips: DataFrame, edges: DataFrame): DataFrame = {
     // verified edges are consumed twice inside CC (vertex dictionary +
-    // edge relabeling): persist so verification runs once
-    val e = materialize(edges.select(col("a"), col("b")))
+    // edge relabeling): persist so verification runs once. Edge lists are
+    // small (pairs that SURVIVED exact verification) — memory-backed.
+    val e = materialize(edges.select(col("a"), col("b")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cc = ConnectedComponents.runOnStrings(spark, e, "a", "b")
     clips.select(col("clip_id"))
       .join(cc, Seq("clip_id"), "left")
