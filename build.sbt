@@ -27,6 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xms = -Xmx + pre-touch: heap EXPANSION during the run is a
+  // scalability killer — N mutator threads faulting fresh heap pages
+  // serialize on the kernel mmap lock (measured: 16-thread signature
+  // stage at 0-1% user / 72% system CPU, 2.5x wall inflation vs a
+  // pre-committed heap). spark-submit sets -Xms itself; forked JVMs
+  // must do the same.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
   // throughput GC: G1 collapsed under the pipeline's allocation rate at
   // 32 mutator threads (5x CPU inflation in the signature stage)
   "-XX:+UseParallelGC",

@@ -38,30 +38,35 @@ object ConnectedComponents {
       .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
       .distinct(), StorageLevel.MEMORY_AND_DISK_SER)
 
-    // one large-star + small-star round as a pure plan transform
+    // one large-star + small-star round as a pure plan transform.
+    // Each round is latency-bound at sandbox scale (every exchange is an
+    // AQE query stage with a driver replan), so both stars emit their
+    // pairs PRE-ORDERED instead of canonicalizing, and only small-star
+    // ends with a distinct: large-star's output is at most one row per
+    // input edge (duplicates only when two neighbors of v share a min),
+    // so an intermediate distinct bought nothing but two stages per round.
     def round(in: DataFrame): DataFrame = {
-      // large-star: for each node, link every LARGER neighbor to the min
-      // of its neighborhood (incl. itself). Keeps the graph connected,
+      // large-star: for each node u, link every LARGER neighbor v to
+      // m = min(N(u) ∪ {u}). m <= u < v, so (m, v) is already ordered
+      // and can never be a self-loop. Keeps the graph connected,
       // strictly reduces large-id edges.
       val nbrs = in.select($"u", $"v").union(in.select($"v".as("u"), $"u".as("v")))
       val mins = nbrs.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
       val large = nbrs.join(mins, "u")
         .where($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v"))
-        .where($"u" =!= $"v")
-        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
-        .distinct()
+        .select($"m".as("u"), $"v")
 
-      // small-star: orient edges to smaller ids; link all smaller
-      // neighbors (and self) to the neighborhood min.
-      val oriented = large.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      // small-star: orient to (larger, smaller) — large-star emitted
+      // (m, v) with m < v, so the orientation is a column swap — and
+      // link all smaller neighbors and self to the neighborhood min m2.
+      // m2 <= v < u makes (m2, u) ordered; (m2, v) needs the v != m2
+      // guard only.
+      val oriented = large.select($"v".as("u"), $"u".as("v"))
       val mins2 = oriented.groupBy($"u").agg(min($"v").as("m"))
       oriented.join(mins2, "u")
-        .select(
-          array($"u", $"v").as("nodes"), $"m")
-        .select(explode($"nodes").as("u"), $"m".as("v"))
-        .where($"u" =!= $"v")
-        .select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+        .select(explode(array($"u", $"v")).as("n"), $"m")
+        .where($"n" =!= $"m")
+        .select($"m".as("u"), $"n".as("v"))
         .distinct()
     }
 
@@ -75,13 +80,16 @@ object ConnectedComponents {
       // at worst one extra (cheap, already-converged) round pair. The
       // checkpoint still truncates lineage every pass, so the plan stays
       // bounded (CcPlanSpec).
+      val tIter = System.nanoTime()
       val next = Dedup.materialize(round(round(e)), StorageLevel.MEMORY_AND_DISK_SER)
+      val tMat = System.nanoTime()
       // probe from pass 2 on: pass 1 of a non-trivial graph never converges
       if (iter >= 1) {
         val sig = signature(next)
         converged = prevSig.contains(sig)
         prevSig = Some(sig)
       }
+      System.err.println(f"[cc] iter $iter: materialize ${(tMat - tIter) / 1e9}%.1f s, probe ${(System.nanoTime() - tMat) / 1e9}%.1f s")
       e.unpersist()
       e = next
       iter += 1

@@ -121,7 +121,8 @@ object Dedup {
       df.localCheckpoint(true, localLevel)
 
   /** Generic LSH bucket -> candidate pair stage with skew-aware splitting.
-    * input: (clip_id, bucket LONG, source); output: (a, b, source), a < b.
+    * input: (sid LONG, bucket LONG, source TINYINT); output compact
+    * (a, b, source) sid pairs with a < b in sid order.
     *
     * Singleton buckets (the vast majority) are dropped by a
     * partial-aggregated size filter; buckets up to `hotBucketLimit` emit
@@ -132,6 +133,30 @@ object Dedup {
   /** Salt width for hot buckets: a hot bucket's rows land
     * on HotSalts shuffle partitions instead of one. */
   final val HotSalts = 16
+
+  /** Evidence sources are byte-coded and clip ids 64-bit-hashed inside
+    * the candidate stage: the bucket fan-out is the single largest
+    * shuffle of the pipeline (one row per band membership — measured
+    * 11+ GB per 600k clips with string ids and source names), and
+    * (sid LONG, bucket LONG, source BYTE) rows are ~4x smaller and
+    * sort/group as primitive comparisons. sid = xxhash64(clip_id) is a
+    * pure column function — deterministic across re-evaluation with no
+    * dictionary materialization; real clip ids come back for free via
+    * the payload join the verify stage performs anyway. Collisions only
+    * MERGE two ids inside candidate generation: a spurious pair is
+    * killed by exact verification, and a lost true pair needs both ids
+    * in one bucket AND equal hashes — expected lost pairs ~ n^2/2^65
+    * (~3e4 of ~10^12 at the target scale, recall impact < 1e-7, far
+    * inside the 0.99 budget). Cluster VERTEX ids stay 128-bit
+    * (ConnectedComponents) where a collision would merge clusters. */
+  private[graft] val SourceNames: Seq[String] =
+    Seq("minhash", "simhash", "audio", "substring", "containment")
+  private[graft] def sourceCode(name: String): Int = SourceNames.indexOf(name)
+  private[graft] def sourceLit(name: String): Column =
+    lit(sourceCode(name)).cast("tinyint")
+  private[graft] def decodeSource(c: Column): Column =
+    element_at(array(SourceNames.map(lit): _*), c.cast("int") + 1)
+  private[graft] def sidOf(c: Column): Column = xxhash64(c)
 
   /** Per-(source,bucket) size table: bucket fan-out reduced map-side to
     * one row per bucket with >= 2 members. */
@@ -188,7 +213,7 @@ object Dedup {
     // the run stage to one task and serialize it. An explicit fixed-width
     // repartition on the salted group key pins the fan-out.
     val shufN = spark.sessionState.conf.numShufflePartitions
-    val saltHash = xxhash64(col("source"), col("bucket"), col("clip_id"))
+    val saltHash = xxhash64(col("source"), col("bucket"), col("sid"))
     val saltCol = when(col("bsize") <= hotLimit, lit(0L))
       .when(col("bsize") <= saltMax,
         pmod(saltHash, ceil(col("bsize").cast("double") / hotLimit).cast("long")))
@@ -199,37 +224,37 @@ object Dedup {
     val parted = buckets.join(sizes.hint("shuffle_hash"), Seq("source", "bucket"))
       .withColumn("salt", saltCol)
       .repartition(shufN, col("source"), col("bucket"), col("salt"))
-      .sortWithinPartitions(col("source"), col("bucket"), col("salt"), col("clip_id"))
-      .select(col("source"), col("bucket"), col("salt"), col("clip_id"), col("bsize"))
-      .as[(String, Long, Long, String, Long)]
+      .sortWithinPartitions(col("source"), col("bucket"), col("salt"), col("sid"))
+      .select(col("source"), col("bucket"), col("salt"), col("sid"), col("bsize"))
+      .as[(Byte, Long, Long, Long, Long)]
     // streaming run pass; output (a, b, source) pair rows only (hot-run
     // hubs are recovered by a separate cheap aggregation — see
     // pairsFromBuckets — so this pass has ONE consumer and needs no
     // cache/checkpoint barrier)
     val raw = parted.mapPartitions { rows =>
       val it = rows.buffered
-      new scala.collection.AbstractIterator[Iterator[(String, String, String)]] {
+      new scala.collection.AbstractIterator[Iterator[(Long, Long, Byte)]] {
         def hasNext: Boolean = it.hasNext
-        def next(): Iterator[(String, String, String)] = {
+        def next(): Iterator[(Long, Long, Byte)] = {
           val (src, bkt, salt, firstId, bsize) = it.next()
           def sameRun: Boolean = it.hasNext && {
             val h = it.head; h._1 == src && h._2 == bkt && h._3 == salt
           }
           if (bsize > saltMax) {
             // hot: stream star around the run's min (first in sorted order)
-            new scala.collection.AbstractIterator[(String, String, String)] {
+            new scala.collection.AbstractIterator[(Long, Long, Byte)] {
               def hasNext: Boolean = sameRun
-              def next(): (String, String, String) = (firstId, it.next()._4, src)
+              def next(): (Long, Long, Byte) = (firstId, it.next()._4, src)
             }
           } else {
             // small run / salted sub-run: buffer (<= saltMax ids), all pairs
             val m = scala.collection.mutable.ArrayBuffer(firstId)
             while (sameRun) m += it.next()._4
             if (m.length < 2) Iterator.empty
-            else new scala.collection.AbstractIterator[(String, String, String)] {
+            else new scala.collection.AbstractIterator[(Long, Long, Byte)] {
               private var i = 0; private var j = 1
               def hasNext: Boolean = i < m.length - 1
-              def next(): (String, String, String) = {
+              def next(): (Long, Long, Byte) = {
                 val out = (m(i), m(j), src)
                 j += 1; if (j == m.length) { i += 1; j = i + 1 }
                 out
@@ -254,11 +279,11 @@ object Dedup {
     // BOUNDED: at most |buckets|/saltMaxBucket rows (a bucket must have
     // > saltMax members to qualify), so the broadcast can never blow up.
     val hotSizes = bucketSizes(buckets).where(col("bsize") > saltMaxBucket)
-    val saltHash = xxhash64(col("source"), col("bucket"), col("clip_id"))
+    val saltHash = xxhash64(col("source"), col("bucket"), col("sid"))
     val hubPairs = buckets.join(broadcast(hotSizes), Seq("source", "bucket"))
       .groupBy(col("source"), col("bucket"),
         pmod(saltHash, lit(HotSalts.toLong)).as("salt"))
-      .agg(min(col("clip_id")).as("hub"))
+      .agg(min(col("sid")).as("hub"))
       .groupBy(col("source"), col("bucket"))
       .agg(sort_array(collect_list(col("hub"))).as("hubs"))
       .where(size(col("hubs")) >= 2)
@@ -268,19 +293,20 @@ object Dedup {
   }
 
   /** Stage 2 bucket builders: each maps the persisted signature table to
-    * (clip_id, bucket, source) rows; all sources share ONE pair-generation
-    * shuffle (pairsFromBuckets) instead of five separate join pipelines.
-    * Bucket keys are hash-namespaced per source so they never collide. */
+    * compact (sid, bucket, source) rows; all sources share ONE
+    * pair-generation shuffle (pairsFromBuckets) instead of five separate
+    * join pipelines. Bucket keys are hash-namespaced per source so they
+    * never collide. */
 
   /** 2a: text-LSH buckets from minhash band collisions (tau-tuned). */
   def textBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
     sigs.select(
-      col("clip_id"),
+      sidOf(col("clip_id")).as("sid"),
       posexplode(band_hashes(col("minhash"), lit(cfg.bands), lit(cfg.rowsPerBand)))
         .as(Seq("band_id", "band_hash")))
-      .select(col("clip_id"),
+      .select(col("sid"),
         xxhash64(col("band_id"), col("band_hash")).as("bucket"),
-        lit("minhash").as("source"))
+        sourceLit("minhash").as("source"))
 
   /** 2b: SimHash block-combination buckets (2-of-6 blocks; pigeonhole
     * catches any pair within Hamming distance 4). The earlier 4x16-bit
@@ -290,33 +316,33 @@ object Dedup {
     * at the 10^12 target; the combo keys cut p ~13x AND widen recall. */
   def simhashBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
     sigs.select(
-      col("clip_id"),
+      sidOf(col("clip_id")).as("sid"),
       explode(simhash_combo_buckets(col("simhash"))).as("chunk"))
-      .select(col("clip_id"),
+      .select(col("sid"),
         xxhash64(lit("simhash"), col("chunk")).as("bucket"),
-        lit("simhash").as("source"))
+        sourceLit("simhash").as("source"))
 
   /** 2c: audio fingerprint buckets from audio-minhash bands. */
   def audioBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
     sigs.select(
-      col("clip_id"),
+      sidOf(col("clip_id")).as("sid"),
       posexplode(band_hashes(col("audio_minhash"), lit(cfg.audioBands), lit(cfg.audioRowsPerBand)))
         .as(Seq("band_id", "band_hash")))
-      .select(col("clip_id"),
+      .select(col("sid"),
         xxhash64(lit("audio"), col("band_id"), col("band_hash")).as("bucket"),
-        lit("audio").as("source"))
+        sourceLit("audio").as("source"))
 
   /** 2d: loose containment buckets — r=2 bands recover recall for pairs
     * whose Jaccard is diluted by length (shingle containment >= 0.9 but
     * J ~ len_short/len_long; SURVEY §7.6 risk 1). */
   def containmentBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
     sigs.select(
-      col("clip_id"),
+      sidOf(col("clip_id")).as("sid"),
       posexplode(band_hashes(col("minhash"), lit(8), lit(2)))
         .as(Seq("band_id", "band_hash")))
-      .select(col("clip_id"),
+      .select(col("sid"),
         xxhash64(lit("cont"), col("band_id"), col("band_hash")).as("bucket"),
-        lit("containment").as("source"))
+        sourceLit("containment").as("source"))
 
   /** 2e: exact-substring buckets via winnowing (the distributed suffix-
     * array pass re-expressed Spark-first). Winnowing guarantee: if
@@ -324,10 +350,10 @@ object Dedup {
     * winnowK - 1), EVERY winnowed fingerprint of A appears in B, so the
     * bucket join cannot miss the pair. Verification is exact contains(). */
   def substringBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
-    sigs.select(col("clip_id"), explode(col("winnow")).as("fp"))
-      .select(col("clip_id"),
+    sigs.select(sidOf(col("clip_id")).as("sid"), explode(col("winnow")).as("fp"))
+      .select(col("sid"),
         xxhash64(lit("winnow"), col("fp")).as("bucket"),
-        lit("substring").as("source"))
+        sourceLit("substring").as("source"))
 
   /** The north-rule suffix-array pass as a standalone operator: exact
     * shared-span pairs. Winnowed fingerprints bucket the corpus — the
@@ -363,20 +389,45 @@ object Dedup {
     val cands = pairsFromBuckets(substringBuckets(sigs, cfg), hotBucketLimit,
         math.max(cfg.saltMaxBucket, hotBucketLimit))
       .select(col("a"), col("b")).distinct()
-    val withA = cands.join(d.select(col("clip_id").as("a"), col("text").as("text_a")), "a")
-    val withB = withA.join(d.select(col("clip_id").as("b"), col("text").as("text_b")), "b")
+    // sid -> (clip_id, text) decode and payload join in one: the dict is
+    // a pure projection of the input docs
+    val dict = d.select(sidOf(col("clip_id")).as("sid"), col("clip_id"), col("text"))
+    val withA = cands.join(dict.select(col("sid").as("a"),
+      col("clip_id").as("id_a"), col("text").as("text_a")), "a")
+    val withB = withA.join(dict.select(col("sid").as("b"),
+      col("clip_id").as("id_b"), col("text").as("text_b")), "b")
+    // span_len is symmetric; containment flags are computed AFTER the
+    // swap back to string id order so a_in_b refers to the output's a
+    val swap = col("id_a") > col("id_b")
     withB.withColumn("span_len", shared_span_len(col("text_a"), col("text_b")))
       .where(col("span_len") >= minSpan)
-      .select(col("a"), col("b"), col("span_len"),
-        (col("span_len") === length(col("text_a"))).as("a_in_b"),
-        (col("span_len") === length(col("text_b"))).as("b_in_a"))
+      .select(
+        when(swap, col("id_b")).otherwise(col("id_a")).as("a"),
+        when(swap, col("id_a")).otherwise(col("id_b")).as("b"),
+        col("span_len"),
+        (col("span_len") === length(when(swap, col("text_b")).otherwise(col("text_a")))).as("a_in_b"),
+        (col("span_len") === length(when(swap, col("text_a")).otherwise(col("text_b")))).as("b_in_a"))
   }
 
   /** Back-compat single-source candidate helpers (tests / SparkEntry).
     * A pair colliding in k bands would otherwise be emitted k times;
-    * distinct() keeps each candidate once. */
-  def textCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame =
-    pairsFromBuckets(textBuckets(sigs, cfg), cfg.hotBucketLimit).distinct()
+    * distinct() keeps each candidate once. Sid pairs are decoded back to
+    * clip ids (and re-canonicalized to string order) via the id
+    * dictionary — a pure projection of sigs, no materialization. */
+  def textCandidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val pairs = pairsFromBuckets(textBuckets(sigs, cfg), cfg.hotBucketLimit)
+      .distinct()
+    val dict = sigs.select(sidOf(col("clip_id")).as("sid"), col("clip_id"))
+    val swap = col("id_a") > col("id_b")
+    pairs
+      .join(dict.select(col("sid").as("a"), col("clip_id").as("id_a")), "a")
+      .join(dict.select(col("sid").as("b"), col("clip_id").as("id_b")), "b")
+      .select(
+        when(swap, col("id_b")).otherwise(col("id_a")).as("a"),
+        when(swap, col("id_a")).otherwise(col("id_b")).as("b"),
+        decodeSource(col("source")).as("source"))
+      .distinct()
+  }
 
   def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     // the bucket fan-out is consumed three times downstream (size agg,
@@ -399,9 +450,14 @@ object Dedup {
     require(enabled.nonEmpty, s"no known candidate sources in ${cfg.sources}")
     val buckets = enabled.map(s => builders(s)(sigs, cfg)).reduce(_ unionByName _)
     val bucketsM = materialize(buckets) // materialize once: 3 consumers
+    // output keeps the compact 64-bit sid keys (a, b): the verify stage
+    // joins payloads BY SID and recovers real clip ids from the payload
+    // row, so decoding here would add a join for nothing
     pairsFromBuckets(bucketsM, cfg.hotBucketLimit, cfg.saltMaxBucket)
       .groupBy(col("a"), col("b"))
-      .agg(collect_set(col("source")).as("sources"))
+      .agg(collect_set(col("source")).as("src_codes"))
+      .select(col("a"), col("b"),
+        transform(col("src_codes"), c => decodeSource(c)).as("sources"))
   }
 
   /** Stage 3: exact verification. Joins payloads back by id (sort-merge on
@@ -421,12 +477,16 @@ object Dedup {
     // payload — only the skinny candidate side and the one unavoidable
     // wide intermediate move. Two payload-sized shuffles saved.
     val shufN = sigs.sparkSession.sessionState.conf.numShufflePartitions
-    val payload = sigs.select(col("clip_id"), col("transcript"), col("sh"), col("afp"))
-      .repartition(shufN, col("clip_id"))
+    // payload keyed by the candidate stage's 64-bit sid: the joins below
+    // probe on longs, and each payload row carries the real clip_id, so
+    // the sid -> id decode comes for free with the join
+    val payload = sigs.select(sidOf(col("clip_id")).as("sid"), col("clip_id"),
+        col("transcript"), col("sh"), col("afp"))
+      .repartition(shufN, col("sid"))
     val payloadM = materialize(payload)
-    val withA = cands.join(payloadM.select(col("clip_id").as("a"),
+    val withA = cands.join(payloadM.select(col("sid").as("a"), col("clip_id").as("id_a"),
       col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
-    val withB = withA.join(payloadM.select(col("clip_id").as("b"),
+    val withB = withA.join(payloadM.select(col("sid").as("b"), col("clip_id").as("id_b"),
       col("transcript").as("text_b"), col("sh").as("sh_b"), col("afp").as("afp_b")), "b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     // try_divide: ANSI-safe even if an upstream source hands us genuinely
@@ -443,6 +503,11 @@ object Dedup {
     val contCrit =
       if (cfg.verifyContainment) col("containment") >= cfg.containmentTau || col("is_sub")
       else lit(false)
+    // every verdict column is symmetric in (a, b) (Jaccard, containment
+    // via min, isSubstring checks shorter-in-longer), so the output pair
+    // is re-canonicalized to STRING id order — sid order is hash order,
+    // not the stable contract downstream oracles pin
+    val swap = col("id_a") > col("id_b")
     withB
       .withColumn("jaccard", jac)
       .withColumn("containment", cont)
@@ -451,7 +516,10 @@ object Dedup {
         when(lit(cfg.verifyContainment) && col("containment") >= cfg.containmentTau,
           is_substring(col("text_a"), col("text_b"))).otherwise(lit(false)))
       .where(col("jaccard") >= cfg.tau || contCrit || audioCrit)
-      .select(col("a"), col("b"), col("sources"), col("jaccard"),
+      .select(
+        when(swap, col("id_b")).otherwise(col("id_a")).as("a"),
+        when(swap, col("id_a")).otherwise(col("id_b")).as("b"),
+        col("sources"), col("jaccard"),
         col("containment"), col("audio_jaccard"), col("is_sub"))
   }
 

@@ -140,14 +140,14 @@ class DedupPipelineSpec extends AnyFunSuite {
     // salt must differ per (source,bucket) or every bucket splits the
     // mass the same way and cross-salt pairs are never emitted anywhere
     // (round-2 advice: the mass would shatter into ~13 components).
-    val ids = (0 until 200).map(i => f"d$i%04d")
-    val buckets = ids.flatMap(id => (0 until 5).map(b => (id, b.toLong, "minhash")))
-      .toDF("clip_id", "bucket", "source")
+    val ids = (0 until 200).map(_.toLong)
+    val buckets = ids.flatMap(id => (0 until 5).map(b => (id, b.toLong, 0.toByte)))
+      .toDF("sid", "bucket", "source")
     val pairs = Dedup.pairsFromBuckets(buckets, hotBucketLimit = 16)
-      .select($"a", $"b").as[(String, String)].collect()
+      .select($"a", $"b").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)
-    val parent = scala.collection.mutable.Map.empty[String, String]
-    def find(x: String): String = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
       var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
     }
     pairs.foreach { case (a, b) =>
