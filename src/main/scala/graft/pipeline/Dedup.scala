@@ -158,139 +158,141 @@ object Dedup {
     element_at(array(SourceNames.map(lit): _*), c.cast("int") + 1)
   private[graft] def sidOf(c: Column): Column = xxhash64(c)
 
-  /** Per-(source,bucket) size table: bucket fan-out reduced map-side to
-    * one row per bucket with >= 2 members. */
-  private def bucketSizes(buckets: DataFrame): DataFrame =
-    buckets.groupBy(col("source"), col("bucket"))
-      .agg(count(lit(1)).as("bsize"))
-      .where(col("bsize") >= 2)
-
-  /** The lazy pair run pass of pairsFromBuckets, exposed separately so
-    * plan tests can assert its shape. Output rows: (a, b, source) — all
-    * pairs within small/salted runs, star edges around the per-salt min
-    * for hot runs (hub stitching happens in pairsFromBuckets). */
+  /** The pair run pass of pairsFromBuckets, exposed separately so plan
+    * tests can assert its shape. ONE exchange (repartition on
+    * (source, bucket)), one in-partition sort, one streaming pass —
+    * output (a, b, source) sid pairs, a < b.
+    *
+    * Each (source, bucket) run arrives as one consecutive sorted slice,
+    * ordered INSIDE the run by a per-bucket salted hash of the member.
+    * The pass walks it with O(hotBucketLimit) memory and emits, per run:
+    *  - runs <= hotBucketLimit members: ALL PAIRS (one chunk);
+    *  - larger runs: consecutive CHUNKS of hotBucketLimit members in
+    *    salted order, all-pairs within each chunk, plus one CHAIN edge
+    *    (last member of chunk i, first of chunk i+1) so the run is one
+    *    connected component deterministically. Chunk membership follows
+    *    the per-(source, bucket) salted order — an independent draw per
+    *    bucket (an exact-dup mass lands with IDENTICAL membership in
+    *    every band of every source; id-order chunks would split it the
+    *    same way everywhere) — so a true pair colliding in k buckets
+    *    co-chunks in at least one with p = 1-(1-1/s)^k, the same local-
+    *    evidence guarantee the earlier hash-salt sub-bucketing gave;
+    *  - past saltMaxBucket members (IDF cutoff: P(dup | shared
+    *    stop-phrase) ~ 0) the run flips to STAR mode: every further
+    *    member pairs with the run's first member only — O(n) output for
+    *    exact-dup masses and stop-phrase buckets, connectivity preserved
+    *    through the chunk chain (the hub is a chunk-1 member).
+    *
+    * vs the previous shape (partial-agg size table + shuffle-hash join
+    * back + salted repartition + separate hot-hub aggregation): the
+    * fan-out is shuffled ONCE and never joined or aggregated — the size
+    * table's high-cardinality partial aggregation alone measured 10x CPU
+    * inflation at 16 threads (per-task hash tables of mostly-singleton
+    * bucket keys falling out of shared L3), and pair generation needed
+    * the fan-out three times. Duplicate (sid, bucket) rows (a repeated
+    * winnow fingerprint) sort adjacent and are skipped. A monster bucket
+    * serializes one linear O(1)-memory scan in a single task — linear,
+    * never quadratic, and only in the IDF regime where the evidence is
+    * already worthless. */
   private[graft] def rawRuns(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int): DataFrame = {
-    // Single-join + sorted-run design. The earlier form (size join per
-    // branch, three collect_list aggregations, salted hub joins, union)
-    // was correct but its five shuffles and list aggregations were the
-    // worst-scaling stage of the pipeline (8->32 cores bought almost
-    // nothing). This form touches the bucket fan-out twice total:
-    //   1. partial-agg sizes (map-side combined, tiny output), joined back
-    //      once — singleton buckets (the vast majority) die in the join;
-    //   2. ONE salted repartition + in-partition sort, then a single
-    //      STREAMING pass over sorted (source, bucket, salt) runs that
-    //      emits pairs directly — no collect_list, bounded memory.
-    //
-    // Skew-aware band-bucket splitting (north rule) lives in the salt:
-    //  - bsize <= hotBucketLimit: salt 0, ALL PAIRS within the run;
-    //  - bsize <= saltMaxBucket: hash(source, bucket, clip_id) into
-    //    ceil(bsize/limit) sub-buckets, all-pairs within each — keeps
-    //    local pair evidence in MIXED hot buckets (a shared phrase pulling
-    //    unrelated docs together) where a star hub would fail
-    //    verification. The salt MUST mix (source, bucket), not just the
-    //    id: an exact-dup mass lands with identical members and identical
-    //    bsize in every band of every source, so an id-only salt would
-    //    split it the SAME way everywhere and cross-salt pairs would never
-    //    be emitted anywhere (the mass would shatter into ceil(bsize/limit)
-    //    components). Per-(source,bucket) salts make the sub-bucketings
-    //    independent draws, so a true pair colliding in k hot buckets
-    //    co-salts in >=1 with p=1-(1-1/s)^k, and the sub-cliques of one
-    //    bucket are re-joined transitively by the differing splits of the
-    //    other buckets;
-    //  - beyond saltMaxBucket (IDF cutoff: P(dup | shared stop-phrase)~0)
-    //    the run is STAR-ONLY around its minimum member, streamed in O(1)
-    //    memory, spread over HotSalts shuffle partitions; the per-salt
-    //    hubs of one bucket are then joined into one component by a
-    //    second, tiny all-pairs over the <= HotSalts hubs.
-    // No task ever materializes more than min(bsize, saltMaxBucket) ids.
     val spark = buckets.sparkSession
     import spark.implicits._
     val hotLimit = hotBucketLimit
     val saltMax = saltMaxBucket
-    val sizes = bucketSizes(buckets)
-    // pair generation is OUTPUT-heavy (quadratic in group size) while its
-    // shuffle INPUT is tiny, so AQE's bytes-based coalescing would shrink
-    // the run stage to one task and serialize it. An explicit fixed-width
-    // repartition on the salted group key pins the fan-out.
+    // pair generation is OUTPUT-heavy (quadratic in chunk size) while its
+    // shuffle INPUT is small, so AQE's bytes-based coalescing would
+    // shrink the run stage to one task and serialize it. An explicit
+    // fixed-width repartition on the bucket key pins the fan-out.
     val shufN = spark.sessionState.conf.numShufflePartitions
-    val saltHash = xxhash64(col("source"), col("bucket"), col("sid"))
-    val saltCol = when(col("bsize") <= hotLimit, lit(0L))
-      .when(col("bsize") <= saltMax,
-        pmod(saltHash, ceil(col("bsize").cast("double") / hotLimit).cast("long")))
-      .otherwise(pmod(saltHash, lit(HotSalts.toLong)))
-    // shuffle-hash, not sort-merge: SMJ would sort the full fan-out just
-    // to probe the (small) sizes side, and the salted repartition below
-    // re-sorts anyway — hashing the sizes side skips one 36M-row sort
-    val parted = buckets.join(sizes.hint("shuffle_hash"), Seq("source", "bucket"))
-      .withColumn("salt", saltCol)
-      .repartition(shufN, col("source"), col("bucket"), col("salt"))
-      .sortWithinPartitions(col("source"), col("bucket"), col("salt"), col("sid"))
-      .select(col("source"), col("bucket"), col("salt"), col("sid"), col("bsize"))
-      .as[(Byte, Long, Long, Long, Long)]
-    // streaming run pass; output (a, b, source) pair rows only (hot-run
-    // hubs are recovered by a separate cheap aggregation — see
-    // pairsFromBuckets — so this pass has ONE consumer and needs no
-    // cache/checkpoint barrier)
-    val raw = parted.mapPartitions { rows =>
+    val parted = buckets
+      .repartition(shufN, col("source"), col("bucket"))
+      .sortWithinPartitions(col("source"), col("bucket"),
+        xxhash64(col("source"), col("bucket"), col("sid")), col("sid"))
+      .select(col("source"), col("bucket"), col("sid"))
+      .as[(Byte, Long, Long)]
+    parted.mapPartitions { rows =>
       val it = rows.buffered
+      def ord(x: Long, y: Long, s: Byte): (Long, Long, Byte) =
+        if (x < y) (x, y, s) else (y, x, s)
+      // outer iterator: one inner iterator per (source, bucket) run
       new scala.collection.AbstractIterator[Iterator[(Long, Long, Byte)]] {
         def hasNext: Boolean = it.hasNext
         def next(): Iterator[(Long, Long, Byte)] = {
-          val (src, bkt, salt, firstId, bsize) = it.next()
-          def sameRun: Boolean = it.hasNext && {
-            val h = it.head; h._1 == src && h._2 == bkt && h._3 == salt
-          }
-          if (bsize > saltMax) {
-            // hot: stream star around the run's min (first in sorted order)
-            new scala.collection.AbstractIterator[(Long, Long, Byte)] {
-              def hasNext: Boolean = sameRun
-              def next(): (Long, Long, Byte) = (firstId, it.next()._4, src)
+          val (src, bkt, firstId) = it.next()
+          new scala.collection.AbstractIterator[(Long, Long, Byte)] {
+            private def sameRun: Boolean = it.hasNext && {
+              val h = it.head; h._1 == src && h._2 == bkt
             }
-          } else {
-            // small run / salted sub-run: buffer (<= saltMax ids), all pairs
-            val m = scala.collection.mutable.ArrayBuffer(firstId)
-            while (sameRun) m += it.next()._4
-            if (m.length < 2) Iterator.empty
-            else new scala.collection.AbstractIterator[(Long, Long, Byte)] {
-              private var i = 0; private var j = 1
-              def hasNext: Boolean = i < m.length - 1
-              def next(): (Long, Long, Byte) = {
-                val out = (m(i), m(j), src)
-                j += 1; if (j == m.length) { i += 1; j = i + 1 }
-                out
+            private var chunk = scala.collection.mutable.ArrayBuffer[Long](firstId)
+            private var lastId = firstId       // duplicate-row skip
+            private val hub = firstId          // star target (chunk-1 member)
+            private var seen = 1L
+            private var hasPrevChunk = false
+            private var prevLast = 0L
+            private var queue: Iterator[(Long, Long, Byte)] = Iterator.empty
+            private var done = false
+            private def flushChunk(): Iterator[(Long, Long, Byte)] = {
+              val arr = chunk.toArray
+              // capacity hint only — hotLimit can be Int.MaxValue (the
+              // sharedSpanPairs exactness contract), and ArrayBuffer
+              // grows on demand anyway
+              chunk = new scala.collection.mutable.ArrayBuffer[Long](math.min(hotLimit, 64))
+              val chain =
+                if (hasPrevChunk && arr.nonEmpty) Iterator.single(ord(prevLast, arr.head, src))
+                else Iterator.empty
+              if (arr.nonEmpty) { hasPrevChunk = true; prevLast = arr.last }
+              val pairs =
+                if (arr.length < 2) Iterator.empty
+                else new scala.collection.AbstractIterator[(Long, Long, Byte)] {
+                  private var i = 0; private var j = 1
+                  def hasNext: Boolean = i < arr.length - 1
+                  def next(): (Long, Long, Byte) = {
+                    val out = ord(arr(i), arr(j), src)
+                    j += 1; if (j == arr.length) { i += 1; j = i + 1 }
+                    out
+                  }
+                }
+              chain ++ pairs
+            }
+            private def advance(): Unit = {
+              while (queue.isEmpty && !done) {
+                if (sameRun) {
+                  val id = it.next()._3
+                  if (id != lastId) {
+                    lastId = id
+                    seen += 1
+                    if (seen > saltMax) {
+                      // star regime; flush any partial chunk first so its
+                      // local pairs and chain survive the mode flip
+                      queue =
+                        (if (chunk.nonEmpty) flushChunk() else Iterator.empty) ++
+                          Iterator.single(ord(hub, id, src))
+                    } else {
+                      chunk += id
+                      if (chunk.length == hotLimit) queue = flushChunk()
+                    }
+                  }
+                } else {
+                  done = true
+                  // trailing chunk: pairs, plus the chain edge that links
+                  // it (even a single trailing member) to the previous one
+                  if (chunk.length >= 2 || (hasPrevChunk && chunk.nonEmpty))
+                    queue = flushChunk()
+                }
               }
             }
+            def hasNext: Boolean = { if (queue.isEmpty) advance(); queue.hasNext }
+            def next(): (Long, Long, Byte) = { if (queue.isEmpty) advance(); queue.next() }
           }
         }
       }.flatten
     }.toDF("a", "b", "source")
-    raw
   }
 
-  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame = {
-    val pairs = rawRuns(buckets, hotBucketLimit, saltMaxBucket)
-    // stitch the per-salt hubs of each hot bucket into one connected
-    // component. The hub of a hot salt-run is, by construction, the min
-    // clip_id of (source, bucket, salt) — recomputed here as a standalone
-    // aggregation instead of a second consumer of the run pass: an eager
-    // cache/checkpoint of the (huge) pair output added a blocking job and
-    // a full disk round-trip to every pipeline run, pure serial time at
-    // the scaling-rule's small-cluster leg. The hot-sizes side is
-    // BOUNDED: at most |buckets|/saltMaxBucket rows (a bucket must have
-    // > saltMax members to qualify), so the broadcast can never blow up.
-    val hotSizes = bucketSizes(buckets).where(col("bsize") > saltMaxBucket)
-    val saltHash = xxhash64(col("source"), col("bucket"), col("sid"))
-    val hubPairs = buckets.join(broadcast(hotSizes), Seq("source", "bucket"))
-      .groupBy(col("source"), col("bucket"),
-        pmod(saltHash, lit(HotSalts.toLong)).as("salt"))
-      .agg(min(col("sid")).as("hub"))
-      .groupBy(col("source"), col("bucket"))
-      .agg(sort_array(collect_list(col("hub"))).as("hubs"))
-      .where(size(col("hubs")) >= 2)
-      .select(col("source"), col("hubs")(0).as("a"), explode(slice(col("hubs"), 2, HotSalts)).as("b"))
-      .select(col("a"), col("b"), col("source"))
-    pairs.union(hubPairs)
-  }
+  /** Candidate pairs from a (sid, bucket, source) fan-out — one shuffle,
+    * one streaming sorted-run pass (see rawRuns). */
+  def pairsFromBuckets(buckets: DataFrame, hotBucketLimit: Int, saltMaxBucket: Int = 1024): DataFrame =
+    rawRuns(buckets, hotBucketLimit, saltMaxBucket)
 
   /** Stage 2 bucket builders: each maps the persisted signature table to
     * compact (sid, bucket, source) rows; all sources share ONE
@@ -430,10 +432,6 @@ object Dedup {
   }
 
   def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    // the bucket fan-out is consumed three times downstream (size agg,
-    // small-bucket pass, hot-bucket pass): persist so the five explode
-    // pipelines over the signatures run once. In the checkpointed variant
-    // this is a table write (the --raw seam); here it spills if needed.
     // NOTE: containmentBuckets (b=8, r=2 loose minhash bands) is NOT in
     // the default union: its junk-collision rate for unrelated docs is
     // p = 8*J_rand^2, quadratic in corpus size (measured 759k pairs at
@@ -449,11 +447,12 @@ object Dedup {
       .filter(cfg.sources)
     require(enabled.nonEmpty, s"no known candidate sources in ${cfg.sources}")
     val buckets = enabled.map(s => builders(s)(sigs, cfg)).reduce(_ unionByName _)
-    val bucketsM = materialize(buckets) // materialize once: 3 consumers
+    // the fan-out has exactly ONE consumer (the single-pass pair stage),
+    // so it flows straight into that shuffle — no barrier
     // output keeps the compact 64-bit sid keys (a, b): the verify stage
     // joins payloads BY SID and recovers real clip ids from the payload
     // row, so decoding here would add a join for nothing
-    pairsFromBuckets(bucketsM, cfg.hotBucketLimit, cfg.saltMaxBucket)
+    pairsFromBuckets(buckets, cfg.hotBucketLimit, cfg.saltMaxBucket)
       .groupBy(col("a"), col("b"))
       .agg(collect_set(col("source")).as("src_codes"))
       .select(col("a"), col("b"),
