@@ -120,20 +120,6 @@ object Dedup {
       // trip per CC iteration is pure serial latency for kilobyte state.
       df.localCheckpoint(true, localLevel)
 
-  /** Generic LSH bucket -> candidate pair stage with skew-aware splitting.
-    * input: (sid LONG, bucket LONG, source TINYINT); output compact
-    * (a, b, source) sid pairs with a < b in sid order.
-    *
-    * Singleton buckets (the vast majority) are dropped by a
-    * partial-aggregated size filter; buckets up to `hotBucketLimit` emit
-    * all pairs; hot buckets (exact-dup masses, hot shingles) emit a STAR
-    * around the min member — O(n) edges
-    * with identical connected components, which is the skew-aware
-    * splitting the north rule asks for. */
-  /** Salt width for hot buckets: a hot bucket's rows land
-    * on HotSalts shuffle partitions instead of one. */
-  final val HotSalts = 16
-
   /** Evidence sources are byte-coded and clip ids 64-bit-hashed inside
     * the candidate stage: the bucket fan-out is the single largest
     * shuffle of the pipeline (one row per band membership — measured
@@ -452,11 +438,18 @@ object Dedup {
     // output keeps the compact 64-bit sid keys (a, b): the verify stage
     // joins payloads BY SID and recovers real clip ids from the payload
     // row, so decoding here would add a join for nothing
+    // a pair colliding in k buckets is emitted k times; the dedup
+    // aggregates a fixed-width BITMASK of evidence sources instead of
+    // collect_set — an 8-byte agg state keeps the partial-agg output
+    // rows (the second-largest shuffle of the pipeline) fixed-size, and
+    // decodes to the public array<string> contract after the shuffle
     pairsFromBuckets(buckets, cfg.hotBucketLimit, cfg.saltMaxBucket)
       .groupBy(col("a"), col("b"))
-      .agg(collect_set(col("source")).as("src_codes"))
+      .agg(bit_or(expr("shiftleft(1L, cast(source as int))")).as("src_mask"))
       .select(col("a"), col("b"),
-        transform(col("src_codes"), c => decodeSource(c)).as("sources"))
+        array_compact(array(SourceNames.zipWithIndex.map { case (n, i) =>
+          when(col("src_mask").bitwiseAND(lit(1L << i)) =!= 0, lit(n))
+        }: _*)).as("sources"))
   }
 
   /** Stage 3: exact verification. Joins payloads back by id (sort-merge on
