@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
-  * line to stdout. q_word_jaccard_pairs is excluded: it is the exact
-  * quadratic oracle demo (inverted index over a ~60-word vocabulary makes
-  * every doc pair collide), not an engine operator.
+  * line to stdout. q_word_jaccard_pairs joined the headline once prefix
+  * filtering removed its hot-word quadratic (round 4); it remains the
+  * most expensive text query by design — documents share a tiny
+  * vocabulary, so nearly every pair is a true candidate.
   *
   * The bench session runs the pipeline in its scale-safe default (a
   * checkpoint dir is set, so Dedup materializes reliably), and takes an
@@ -21,12 +22,15 @@ object Bench {
     "q1_agg", "q_keyed_distinct", "q_raw_merge", "q_b64_roundtrip",
     "q_theta_setops",
     "q_hh_topk", "q_hh_nofp", "q_hh_weighted", "q_hot_shingles",
-    "q_rolling_distinct", "q_keyval_split",
-    "q_dedup_exact", "q_minhash_lsh_docs", "q_cc_clusters", "q_shared_spans",
+    "q_rolling_distinct", "q_keyval_split", "q_lines_scan", "q_csv_extract",
+    "q_dedup_exact", "q_word_jaccard_pairs",
+    "q_minhash_lsh_docs", "q_cc_clusters", "q_shared_spans",
     "q_token_stats", "q_quality", "q_fingerprint",
     "q_lang_id", "q_simhash_docs",
-    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_embed_neardup",
-    "q_multimodal_meta", "q_pipeline_text_clusters", "q_pipeline_clusters")
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_sel",
+    "q_embed_neardup",
+    "q_multimodal_meta", "q_pipeline_text_clusters",
+    "q_pipeline_substring_clusters", "q_pipeline_clusters")
 
   def makeSession(cpus: String): SparkSession = {
     val s = SparkSession.builder()
@@ -55,19 +59,40 @@ object Bench {
   /** Best-effort recursive delete of stale bench scratch from PREVIOUS
     * (possibly crashed) runs: a killed child JVM never runs its shutdown
     * hooks, and 30GB of orphaned checkpoint/input debris in /tmp is what
-    * ran round 2's scaling child out of disk mid-shuffle. */
+    * ran round 2's scaling child out of disk mid-shuffle.
+    *
+    * "Stale" is judged by the NEWEST mtime anywhere in the directory tree,
+    * not the top level: a long-running concurrent Spark app keeps writing
+    * shuffle files inside existing blockmgr subdirs without ever touching
+    * the top-level dir's mtime, so a top-level gate would delete a LIVE
+    * block store out from under it (FetchFailed storms). The same age gate
+    * applies to graft-* scratch so two overlapping bench invocations never
+    * wipe each other's live input/checkpoints, and the eventlog dir
+    * (spark-events) is excluded — it matches the spark- prefix but is
+    * shared append-only history, not per-run scratch. */
   def cleanStaleScratch(): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val staleAgeMs = 30L * 60 * 1000
+    val now = System.currentTimeMillis()
+    def newestMtime(f: java.io.File): Long = {
+      var newest = f.lastModified()
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach { c =>
+          val m = newestMtime(c)
+          if (m > newest) newest = m
+        }
+      newest
+    }
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
       val n = f.getName
-      n.startsWith("graft-scaling-clips") || n.startsWith("graft-bench-ckpt") ||
-        n.startsWith("graft-scaling-ckpt") ||
-        // spark scratch of CRASHED earlier apps (a killed JVM never runs
-        // its shutdown hooks); age-gate so a concurrently-running app's
-        // live scratch is never touched
-        ((n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
-          System.currentTimeMillis() - f.lastModified() > staleAgeMs)
+      val scratchPrefix =
+        n.startsWith("graft-scaling-clips") || n.startsWith("graft-bench-ckpt") ||
+          n.startsWith("graft-scaling-ckpt") ||
+          // spark scratch of CRASHED earlier apps (a killed JVM never
+          // runs its shutdown hooks)
+          n.startsWith("blockmgr-") || n.startsWith("spark-")
+      scratchPrefix && n != "spark-events" &&
+        now - newestMtime(f) > staleAgeMs
     }
     stale.foreach { f =>
       System.err.println(s"[bench] removing stale scratch ${f.getPath}")
@@ -156,7 +181,14 @@ object Bench {
             s""","scaling_error":"${jsonEscape(String.valueOf(e.getMessage).take(300))}""""
         }
       } else ""
-    println(s"""{"metric":"total",$baseJson$scalingJson}""")
+    val fullJson = s"""{"metric":"total",$baseJson$scalingJson}"""
+    // the FINAL machine-parsable artifact: stdout from `sbt runMain` is
+    // [info]-prefixed, so every round's driver-captured JSON needed
+    // regex surgery — the file is the thing downstream tooling parses
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_final.json"), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] final write: $e") }
+    println(fullJson)
   }
 }
 

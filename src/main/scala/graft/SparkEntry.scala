@@ -118,6 +118,33 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q_lines_scan" -> ((s, dir) => {
+      // S1+P2 (SURVEY §2.1/§2.2): raw line scan over a file with MIXED
+      // \n / \r\n terminators — spark.read.text strips both (the
+      // reference strips trailing \r after the \n split,
+      // stream_reducer.rs:13-29) — then the --key protocol: first-space
+      // split, keyed distinct-count + line count. A \r surviving into
+      // the value would split every third value group and fail the gate.
+      val lines = s.read.text(graft.gen.RawFixtures.linesPath)
+      lines
+        .select(substring_index(col("value"), " ", 1).as("key"),
+          expr("substring(value, length(substring_index(value, ' ', 1)) + 2)").as("v"))
+        .groupBy(col("key"))
+        .agg(kmv_est(col("v"), K).as("dv"), count(lit(1)).as("n"))
+        .orderBy(col("key"))
+    }),
+
+    "q_csv_extract" -> ((s, dir) => {
+      // S5 (SURVEY §2.1): CSV field extraction with real RFC4180 quoting
+      // (embedded commas, doubled quotes). escape="\"" pins univocity to
+      // quote-doubling, the dialect DuckDB's reader speaks natively.
+      s.read.option("header", "true").option("escape", "\"")
+        .csv(graft.gen.RawFixtures.csvPath)
+        .select(col("id").cast("long").as("id"), col("cat"), col("msg"),
+          length(col("msg")).as("n_msg"), col("val").cast("double").as("val"))
+        .orderBy(col("id"))
+    }),
+
     "q_keyval_split" -> ((s, dir) => {
       // P1 (SURVEY §2.2): line = key ' ' value, split on the FIRST space —
       // the reference --key line format (src/counters.rs:60-66) — then
@@ -135,14 +162,17 @@ object SparkEntry {
     // --- dedup / text analysis over documents ------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       // exact dedup: canonical id = min doc_id among byte-identical texts.
-      // The shuffle key is a 128-bit content fingerprint, NOT the document:
+      // The shuffle key is a 256-bit content fingerprint, NOT the document:
       // at 100TB, grouping on full text ships every document as a
-      // comparator key; md5 gives 16-byte keys with the same groups.
-      // Byte equality is verified WITHIN each fingerprint group (the
-      // min(struct) buffer carries the canonical text), so an md5
-      // collision degrades to self-canonical, never a wrong merge.
+      // comparator key; sha-256 gives 32-byte keys with the same groups
+      // AND no constructible collision (md5 collisions are practically
+      // forgeable, which would let adversarial input defeat dedup for
+      // chosen documents). Byte equality is still verified WITHIN each
+      // fingerprint group (the min(struct) buffer carries the canonical
+      // text), so even a collision degrades to self-canonical, never a
+      // wrong merge.
       val d = tbl(s, dir, "documents")
-        .select(col("doc_id"), col("text"), md5(col("text").cast("binary")).as("fp"))
+        .select(col("doc_id"), col("text"), sha2(col("text").cast("binary"), 256).as("fp"))
       val canon = d.groupBy(col("fp"))
         .agg(min(struct(col("doc_id"), col("text"))).as("c"))
       d.join(canon, "fp")
@@ -152,25 +182,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    "q_word_jaccard_pairs" -> ((s, dir) => {
-      // exact word-level Jaccard near-dup pairs (inverted index, no
-      // all-pairs): J >= 0.5
-      val words = tbl(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-        .where(col("w") =!= "")
-      val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val l = words.select(col("w"), col("doc_id").as("a"))
-      val r = words.select(col("w"), col("doc_id").as("b"))
-      val inter = l.join(r, "w").where(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .withColumn("j", round(col("i") / (col("na") + col("nb") - col("i")), 6))
-        .where(col("j") >= 0.5)
-        .select(col("a"), col("b"), col("j"))
-        .orderBy(col("a"), col("b"))
-    }),
+    "q_word_jaccard_pairs" -> ((s, dir) =>
+      wordJaccardPairs(tbl(s, dir, "documents"), tau = 0.5)
+        .orderBy(col("a"), col("b"))),
 
     "q_token_stats" -> ((s, dir) => {
       tbl(s, dir, "documents").select(
@@ -303,6 +317,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    "q_ann_ivf_sel" -> ((s, dir) => {
+      // the SELECTIVE IVF regime under the driver gate (the exhaustive
+      // q_ann_ivf oracle validates the machinery; this one validates the
+      // APPROXIMATION): nProbe = 6 of 8 lists, recall measured in-Spark
+      // against the exact brute-force top-10 and emitted as a per-query
+      // bound. DuckDB pins the bound as a constant — if the selective
+      // probe ever degrades below 7/10 per query the flag flips and the
+      // hash compare fails. (Measured: recall 0.93 overall at sf0.01;
+      // the 0.7 floor leaves margin for corpus-profile drift across sf.)
+      val emb = tbl(s, dir, "embeddings")
+      val ivf = graft.sim.Ann.ivfTopK(s, emb, kNeighbors = 10, nCentroids = 8, nProbe = 6)
+      val brute = graft.sim.Ann.bruteTopK(emb, kNeighbors = 10)
+      val hits = brute.select(col("qid"), col("vec_id"))
+        .join(ivf.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("nh"))
+      brute.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), (coalesce(col("nh"), lit(0L)) >= 7).as("recall_ok"))
+        .orderBy(col("qid"))
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-duplicate pairs (training-data dedup):
       // LSH-bucketed candidates with Hamming-1 probes (miss p ~ 2e-6 at
@@ -326,6 +361,26 @@ object SparkEntry {
       // an LSH miss of a J>=0.8 pair has p ~ 5e-8: zero expected misses).
       val cfg = DedupConfig(sources = Set("minhash"), verifyContainment = false)
       Dedup.run(s, clipsInput(s, dir), cfg).orderBy(col("clip_id"))
+    }),
+
+    "q_pipeline_substring_clusters" -> ((s, dir) => {
+      // the winnow -> suffix-array -> CC flagship path END TO END under
+      // the driver gate: exact shared-span pairs (>= 47 code points —
+      // winnowing recall guarantee + per-pair generalized-SA exact
+      // verification, Dedup.sharedSpanPairs) closed into clusters by
+      // large-star/small-star CC. SQL-replayable because "longest shared
+      // span >= 47" is EXACTLY "shares some 47-char gram": DuckDB
+      // rebuilds the pair set from a 47-gram self-join and closes it
+      // with a recursive CTE. (Scope: ASCII transcripts — ClipGen emits
+      // [a-z ] only, so char grams and byte grams coincide.)
+      val clips = clipsInput(s, dir).select(col("clip_id"), col("transcript"))
+      val pairs = Dedup.sharedSpanPairs(clips, "clip_id", "transcript",
+        DedupConfig(), minSpan = 47).select(col("a"), col("b"))
+      val cc = graft.pipeline.ConnectedComponents.runOnStrings(s, pairs, "a", "b")
+      clips.select(col("clip_id"))
+        .join(cc, Seq("clip_id"), "left")
+        .select(col("clip_id"), coalesce(col("cluster_id"), col("clip_id")).as("cluster_id"))
+        .orderBy(col("clip_id"))
     }),
 
     "q_multimodal_meta" -> ((s, dir) => {
@@ -375,6 +430,51 @@ object SparkEntry {
         .orderBy(col("event_type"))
     })
   )
+
+  /** EXACT word-level Jaccard near-dup pairs (J >= tau) via AllPairs/
+    * PPJoin prefix filtering (Bayardo et al. WWW'07; Xiao et al.): under
+    * one GLOBAL token order — document frequency ascending, word as the
+    * tie-break — any pair with |a∩b| >= α must share a token inside
+    * a's (na-α+1)-prefix and b's (nb-α+1)-prefix, and J >= tau implies
+    * |a∩b| >= ceil(tau·max(na,nb)), so per-doc prefixes of length
+    * n - ceil(tau·n) + 1 cannot miss a qualifying pair. The inverted-
+    * index join therefore runs over PREFIX tokens only: a Zipfian hot
+    * word (df ~ corpus size) sorts to the END of the global order and
+    * drops out of nearly every prefix — the bare index's Σ_w df(w)²
+    * hot-word quadratic is gone while the result stays exact. Verification
+    * touches candidates only: each doc's word set is collected once and
+    * intersected with codegen array_intersect.
+    *
+    * Exposed for the plan/size spec (candidate shrink assertion). */
+  private[graft] def wordJaccardPairs(documents: DataFrame, tau: Double): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .where(col("w") =!= "")
+    val cand = wordPrefixCandidates(words, tau)
+    val sets = words.groupBy(col("doc_id")).agg(sort_array(collect_set(col("w"))).as("ws"))
+    val withA = cand.join(sets.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
+    val withB = withA.join(sets.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    withB
+      .withColumn("j", round(inter / (size(col("wa")) + size(col("wb")) - inter), 6))
+      .where(col("j") >= tau)
+      .select(col("a"), col("b"), col("j"))
+  }
+
+  /** The prefix-filtered candidate id pairs (a < b, distinct) — separated
+    * so the spec can count them against the unfiltered index join. */
+  private[graft] def wordPrefixCandidates(words: DataFrame, tau: Double): DataFrame = {
+    val dfreq = words.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ranked = words.join(dfreq, "w")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("w"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ranked.where(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+    prefix.select(col("w"), col("doc_id").as("a"))
+      .join(prefix.select(col("w"), col("doc_id").as("b")), "w")
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
 
   /** Verified near-dup doc pairs via the text LSH path; exact
     * verification keeps J >= 0.5 (ScalaTest checks recall vs oracle).
@@ -450,6 +550,26 @@ object SparkEntry {
         |FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
         |JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - 27 AND d.day
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lines_scan" ->
+      // read_text gives the raw bytes; the \n split + rtrim(chr(13))
+      // replays exactly the line scan the Spark text source performs
+      """WITH raw AS (SELECT content FROM read_text('{OUT}/lines_input.txt')),
+        |l AS (
+        |  SELECT rtrim(u.x, chr(13)) AS line
+        |  FROM raw, unnest(string_split(content, chr(10))) u(x)
+        |  WHERE u.x <> ''
+        |)
+        |SELECT split_part(line, ' ', 1) AS key,
+        |  CAST(count(DISTINCT substring(line, length(split_part(line, ' ', 1)) + 2)) AS DOUBLE) AS dv,
+        |  count(*) AS n
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_csv_extract" ->
+      """SELECT CAST(id AS BIGINT) AS id, cat, msg, length(msg) AS n_msg,
+        |  CAST(val AS DOUBLE) AS val
+        |FROM read_csv('{OUT}/csv_input.csv', header=true, all_varchar=true)
+        |ORDER BY id""".stripMargin,
 
     "q_keyval_split" ->
       """WITH lines AS (
@@ -597,7 +717,13 @@ object SparkEntry {
     "q_pipeline_text_clusters" ->
       // replay of the Jaccard-only flagship: shingle sets -> all pairs
       // with J >= 0.8 (the exact verify predicate) -> transitive closure
-      // -> min clip_id per component; singleton clips map to themselves
+      // -> min clip_id per component; singleton clips map to themselves.
+      // SCOPE: the Spark side shingles UTF-8 BYTES (shingleHashesBytes)
+      // while this SQL shingles CHARS — they coincide exactly because
+      // ClipGen transcripts are pure ASCII ([a-z ] vocabulary) by
+      // construction; a non-ASCII corpus would need byte-level substr
+      // here. (64-bit shingle-hash collisions: expected ~1e-9 per doc
+      // pair at these sizes — zero at the gate.)
       """WITH RECURSIVE c AS (
         |  SELECT clip_id, transcript FROM read_parquet('{OUT}/clips_input/*.parquet')
         |), sh AS (
@@ -622,6 +748,27 @@ object SparkEntry {
         |FROM c LEFT JOIN reach r ON r.u = c.clip_id
         |GROUP BY c.clip_id ORDER BY c.clip_id""".stripMargin,
 
+    "q_pipeline_substring_clusters" ->
+      // span >= 47 <=> shares a 47-gram: rebuild the exact pair set from
+      // a 47-gram self-join, then transitive closure -> min clip_id
+      """WITH RECURSIVE c AS (
+        |  SELECT clip_id, transcript FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |), g AS (
+        |  SELECT clip_id, substr(transcript, CAST(u.i AS INT), 47) AS g
+        |  FROM c, unnest(range(1, greatest(length(transcript)-46, 0) + 1)) u(i)
+        |), pairs AS (
+        |  SELECT DISTINCT a.clip_id AS a, b.clip_id AS b
+        |  FROM g a JOIN g b ON a.g = b.g AND a.clip_id < b.clip_id
+        |), e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+        |)
+        |SELECT c.clip_id, least(c.clip_id, coalesce(min(r.v), c.clip_id)) AS cluster_id
+        |FROM c LEFT JOIN reach r ON r.u = c.clip_id
+        |GROUP BY c.clip_id ORDER BY c.clip_id""".stripMargin,
+
     "q_ann_ivf" ->
       // nProbe = nCentroids -> exhaustive probe -> IVF output is exactly
       // the brute-force top-10 (same tie order: cos desc, vec_id)
@@ -635,6 +782,12 @@ object SparkEntry {
         |rk AS (SELECT qid, vec_id, cos,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM scored)
         |SELECT qid, vec_id, cos, rk FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+
+    "q_ann_ivf_sel" ->
+      // recall-bound oracle: the constant the Spark side must reproduce;
+      // a selective-probe recall collapse flips recall_ok and fails here
+      """SELECT vec_id AS qid, true AS recall_ok FROM embeddings
+        |WHERE vec_id < 3 ORDER BY qid""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT clip_id, codec, sr_hz, dur_ms,

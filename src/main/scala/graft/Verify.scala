@@ -23,6 +23,15 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] clips_input persist failed: ${e.getMessage}")
     }
+    // raw-fixture copies for the DuckDB oracles (q_lines_scan /
+    // q_csv_extract read the tmpdir originals; content is identical by
+    // construction — both are pure functions of RawFixtures)
+    try {
+      Files.writeString(Paths.get(s"$absOut/lines_input.txt"), graft.gen.RawFixtures.linesText)
+      Files.writeString(Paths.get(s"$absOut/csv_input.csv"), graft.gen.RawFixtures.csvText)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] raw fixture persist failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

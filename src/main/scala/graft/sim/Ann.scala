@@ -99,11 +99,27 @@ object Ann {
     * knobs trade recall for scan fraction exactly as here. */
   def ivfTopK(spark: SparkSession, emb: DataFrame, kNeighbors: Int,
       nCentroids: Int = 8, nProbe: Int = 6, iters: Int = 5,
-      queryPred: org.apache.spark.sql.Column = col("vec_id") < 3): DataFrame = {
+      queryPred: org.apache.spark.sql.Column = col("vec_id") < 3,
+      trainSampleTarget: Long = 100000L): DataFrame = {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // Lloyd trains on a seeded hash-sample capped near trainSampleTarget
+    // rows: at 10^12 rows, `iters` full assignment+aggregation passes buy
+    // nothing a ~100k-row sample doesn't — k-means centroids are a
+    // statistic of the distribution, and the sample error O(1/sqrt(m)) is
+    // far below centroid resolution at m=100k. Assignment of the FULL
+    // corpus stays exactly one pass below. Deterministic: the sample is
+    // xxhash64(vec_id) % p == 0, not Bernoulli. At sandbox scale
+    // (n <= target) p = 1 and training is bit-identical to full-corpus.
+    val nRows = emb.count()
+    val p = math.max(1L, nRows / math.max(1L, trainSampleTarget))
+    val train =
+      if (p > 1)
+        emb.where(pmod(xxhash64(col("vec_id")), lit(p)) === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else emb
     // deterministic seeded init: nCentroids vectors in hash order
-    var centroids: Array[Array[Double]] = emb
+    var centroids: Array[Array[Double]] = train
       .orderBy(xxhash64(col("vec_id")))
       .limit(nCentroids)
       .select(col("embedding")).as[Seq[Float]].collect()
@@ -141,7 +157,7 @@ object Ann {
       // + groupBy(cid, pos) form collected nCentroids*dim rows per
       // iteration and re-shipped the codebook in every task closure.)
       val bc = broadcastCodebook(centroids)
-      val stats = emb
+      val stats = train
         .select(assignUdf(bc, 1)(col("embedding"))(0).as("cid"), col("embedding"))
         .groupBy(col("cid"))
         .agg(vecSum(col("embedding")).as("sv"), count(lit(1)).as("n"))
@@ -158,6 +174,7 @@ object Ann {
       centroids = next
       it += 1
     }
+    if (p > 1) train.unpersist(blocking = false)
     val bcFinal = broadcastCodebook(centroids)
     val lists = emb.select(col("vec_id"), col("embedding"),
       assignUdf(bcFinal, 1)(col("embedding"))(0).as("cid"))
@@ -172,6 +189,27 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))
     cands.withColumn("cos", round(dot / (na * nb), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= kNeighbors)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** Exact cosine top-k of the queryPred rows against the whole corpus —
+    * the recall reference for the approximate paths (broadcast the tiny
+    * query side; scoring stays in codegen). Same tie order as every ANN
+    * variant: cos desc, vec_id asc, on round(cos, 6). */
+  def bruteTopK(emb: DataFrame, kNeighbors: Int,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") < 3): DataFrame = {
+    val queries = emb.where(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val dot = expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val nb = expr("sqrt(aggregate(qv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot / (na * nb), 6))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kNeighbors)
       .select(col("qid"), col("vec_id"), col("cos"), col("rk"))

@@ -56,6 +56,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("word-jaccard prefix filter shrinks candidates and stays exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val words = docs
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+      .where($"w" =!= "")
+    // the bare inverted-index join (the pre-round-4 shape): every pair
+    // sharing ANY word is a candidate — hot-word quadratic
+    val bare = words.select($"w", $"doc_id".as("a"))
+      .join(words.select($"w", $"doc_id".as("b")), "w")
+      .where($"a" < $"b").select($"a", $"b").distinct().count()
+    val prefiltered = SparkEntry.wordPrefixCandidates(words, tau = 0.5).count()
+    assert(prefiltered < bare,
+      s"prefix filter did not shrink the join: $prefiltered vs $bare")
+    // exactness: the filtered path finds the identical J>=0.5 pair set
+    // as a direct computation over the bare candidates
+    val sets = words.groupBy($"doc_id").agg(sort_array(collect_set($"w")).as("ws"))
+    val bareCands = words.select($"w", $"doc_id".as("a"))
+      .join(words.select($"w", $"doc_id".as("b")), "w")
+      .where($"a" < $"b").select($"a", $"b").distinct()
+    val wa = sets.select($"doc_id".as("a"), $"ws".as("wa"))
+    val wb = sets.select($"doc_id".as("b"), $"ws".as("wb"))
+    val inter = size(array_intersect($"wa", $"wb")).cast("double")
+    val want = bareCands.join(wa, "a").join(wb, "b")
+      .withColumn("j", inter / (size($"wa") + size($"wb") - inter))
+      .where($"j" >= 0.5).select($"a", $"b")
+      .as[(Long, Long)].collect().toSet
+    val got = SparkEntry.wordJaccardPairs(docs, tau = 0.5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("minhash-lsh doc candidates recall exact J>=0.5 pairs") {
     // exact word.. char-5-gram Jaccard oracle via inverted index
     val docs = spark.read.parquet(s"$sf/documents.parquet")
