@@ -155,6 +155,48 @@ object ClipGen {
     }
   }
 
+  /** Transcript-only members of planted group `g` (no audio synthesis —
+    * its own seeded stream, so contents differ from group() at the same
+    * seed, but the group structure and perturbation modes are identical).
+    * `hotFrac` controls the planted skew knob: the fraction of groups that
+    * append the shared hot sentence (a genuine >=47-char shared span, so
+    * under EXACT substring semantics hot docs form a quadratic qualifying
+    * pair set by construction — pass 0.0 to measure engine cost scaling
+    * without an output-bound term). */
+  private def textGroup(seed: Long, g: Long, hotFrac: Double): Seq[(String, String)] = {
+    val s = groupSize(g)
+    val rng = new Rng(Murmur3x64.mix64(seed ^ (g * 0x9E3779B97F4A7C15L) ^ 0x7E57AB1EL))
+    val hot = rng.nextDouble() < hotFrac
+    val text0 = baseTranscript(rng, hot)
+    (0 until s).map { m =>
+      val id = f"t${g}%09d_$m"
+      val text = m match {
+        case 0 => text0
+        case 2 => perturbTranscript(new Rng(rng.nextLong()), text0)
+        case 3 => baseTranscript(new Rng(rng.nextLong()), hot = false)
+        case 4 => text0.split(' ').take(math.max(5, (text0.split(' ').length * 6) / 10)).mkString(" ")
+        case 5 =>
+          val ws = text0.split(' ')
+          val from = ws.length / 4
+          ws.slice(from, from + math.max(6, (ws.length * 4) / 10)).mkString(" ")
+        case _ => text0
+      }
+      (id, text)
+    }
+  }
+
+  /** Distributed transcript-only corpus (clip_id, transcript) with the
+    * same planted duplicate/substring structure as generate() but no audio
+    * — the input for text-path scale benches (SpanScalingBench). */
+  def generateTexts(spark: SparkSession, nDocs: Int, seed: Long = 42L,
+      numPartitions: Int = 32, hotFrac: Double = 0.10): DataFrame = {
+    import spark.implicits._
+    val nGroups = math.max(1, (nDocs * 9) / 23)
+    spark.range(0, nGroups, 1, numPartitions)
+      .flatMap(g => textGroup(seed, g, hotFrac))
+      .toDF("clip_id", "transcript")
+  }
+
   /** Distributed generation of ~nClips rows (complete groups). Returns the
     * clips dataset and the planted truth (clip_id, group_id) — group ids
     * with >1 member are true duplicate clusters by construction. */

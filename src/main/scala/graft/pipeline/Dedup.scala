@@ -42,7 +42,16 @@ final case class DedupConfig(
     // with verifyContainment=false is pure shingle-Jaccard clustering,
     // SQL-replayable in DuckDB).
     sources: Set[String] = Set("minhash", "simhash", "audio", "substring"),
-    verifyContainment: Boolean = true // containment/substring verify criteria
+    verifyContainment: Boolean = true, // containment/substring verify criteria
+    // Streaming only: idle-bucket state TTL (processing time). 0 keeps
+    // state forever (the reference's one-pass model terminates at EOF;
+    // an unbounded stream with no TTL grows the state-store KEY count
+    // with every distinct bucket ever seen). With a TTL, a bucket idle
+    // longer than this is dropped and a re-arriving member re-seeds it
+    // from empty — connectivity degrades gracefully to within-TTL
+    // evidence (pairs between arrivals separated by more than the TTL
+    // with no traffic in between are missed; everything else is kept).
+    streamStateTtlMs: Long = 0L
 )
 
 /** The pipeline. Every stage is a pure DataFrame -> DataFrame map or a
@@ -524,6 +533,12 @@ object Dedup {
     // small (pairs that SURVIVED exact verification) — memory-backed.
     val e = materialize(edges.select(col("a"), col("b")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    clustersFromEdges(spark, clips, e)
+  }
+
+  /** clusters() after the edge materialization barrier (split out so the
+    * instrumented run can read the clock at the barrier). */
+  private[graft] def clustersFromEdges(spark: SparkSession, clips: DataFrame, e: DataFrame): DataFrame = {
     val cc = ConnectedComponents.runOnStrings(spark, e, "a", "b")
     clips.select(col("clip_id"))
       .join(cc, Seq("clip_id"), "left")
@@ -541,6 +556,40 @@ object Dedup {
     val cands = candidates(sigs, cfg)
     val edges = verify(sigs, cands, cfg)
     clusters(spark, clips, edges)
+  }
+
+  /** run().count(), instrumented at the pipeline's EXISTING eager
+    * materialization barriers — identical execution to run(), the hooks
+    * only read the clock where a barrier already synchronizes. Returns
+    * (cluster rows, ordered (stage, seconds)). Stage attribution:
+    *  - signatures: the map pass (decode + minhash/simhash/winnow/afp);
+    *  - payload: verify()'s pruned-payload repartition + materialize;
+    *  - pairs_verify: the bucket fan-out shuffle, single-pass pair run,
+    *    bitmask dedup, both payload joins and exact verification (one
+    *    lazy chain, executes at the edge materialization);
+    *  - cc_clusters: connected components + the final cluster join/count.
+    * This is the per-stage scaling diagnosis the bench emits at both
+    * parallelism levels (which stage binds the N -> 4N efficiency). */
+  def runTimedCount(spark: SparkSession, clips: DataFrame,
+      cfg: DedupConfig = DedupConfig()): (Long, Seq[(String, Double)]) = {
+    val stages = Seq.newBuilder[(String, Double)]
+    var t0 = System.nanoTime()
+    def mark(name: String): Unit = {
+      val t1 = System.nanoTime()
+      stages += name -> (t1 - t0) / 1e9
+      t0 = t1
+    }
+    val sigs = materialize(signatures(clips, cfg))
+    mark("signatures")
+    val cands = candidates(sigs, cfg)
+    val edges = verify(sigs, cands, cfg) // eager payload materialize inside
+    mark("payload")
+    val e = materialize(edges.select(col("a"), col("b")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    mark("pairs_verify")
+    val rows = clustersFromEdges(spark, clips, e).count()
+    mark("cc_clusters")
+    (rows, stages.result())
   }
 
   /** Resumable variant: every stage is committed to a checkpoint table

@@ -48,7 +48,35 @@ object StreamingDedup {
     * Output: (a, b, source) with a < b in string order; a pair colliding
     * in several bands can be emitted more than once (batch mode dedups
     * with groupBy(a,b) — a streaming consumer dedups downstream or
-    * treats candidate emission as idempotent, which verification is). */
+    * treats candidate emission as idempotent, which verification is).
+    *
+    * REPLAY CONTRACT: candidates are CONNECTIVITY EVIDENCE, not an
+    * exact replayable set. For buckets that stay under
+    * `cfg.hotBucketLimit` the emitted pair set is arrival-order-
+    * invariant (each unordered pair emitted exactly once, when its
+    * later member arrives), but once a bucket overflows into the star
+    * regime the pre-overflow clique depends on shuffle arrival order —
+    * a micro-batch recomputed after task retry/speculation can emit a
+    * DIFFERENT (equally connective) pair set than a sink already
+    * committed. Downstream must consume these as edges feeding
+    * idempotent verification + connected components (where any of the
+    * possible sets yields the same clusters), never diff them against
+    * a prior run. A deterministic intake would require sorting each
+    * batch's arrivals per bucket, i.e. materializing an unbounded
+    * micro-batch in one task — exactly the unbounded intake the
+    * streaming cap exists to prevent.
+    *
+    * STATE LIFETIME: with `cfg.streamStateTtlMs > 0`, a bucket idle
+    * longer than the TTL (processing time) is evicted from the state
+    * store, bounding the KEY count on an unbounded stream; a
+    * re-arriving member re-seeds the bucket from empty, so cross-batch
+    * pairing degrades to within-TTL evidence. 0 = keep state forever
+    * (exact parity with the batch pass over a bounded input).
+    * Run TTL queries with a real trigger interval: ProcessingTimeTimeout
+    * makes the engine schedule timeout batches indefinitely
+    * (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so the default
+    * 0ms trigger busy-loops and processAllAvailable() never returns —
+    * callers must poll StreamingQueryProgress instead. */
   def textCandidatePairs(clips: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
     val spark = clips.sparkSession
     import spark.implicits._
@@ -67,10 +95,20 @@ object StreamingDedup {
       .select(xxhash64(col("band_id"), col("band_hash")).as("bucket"), col("clip_id"))
       .as[(Long, String)]
     val limit = cfg.hotBucketLimit
+    val ttlMs = cfg.streamStateTtlMs
+    val timeoutMode =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     buckets
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutMode)(
         (bucket: Long, rows: Iterator[(Long, String)], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            // idle past the TTL: evict. The next arrival re-seeds the
+            // bucket from empty (within-TTL connectivity only).
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(BucketState(Vector.empty, None))
           val out = Vector.newBuilder[(String, String, String)]
           // arrivals STREAM through the state machine one at a time, so
@@ -108,7 +146,9 @@ object StreamingDedup {
             }
           }
           state.update(st)
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
           out.result().iterator
+          }
         })
       .toDF("a", "b", "source")
   }
