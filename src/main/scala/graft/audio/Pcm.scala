@@ -162,6 +162,9 @@ object Pcm {
     val it = set.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    // sorted: enables the merge-walk intersection in the verify stage
+    // (SortedIntersectCountExpr) — sorted once per clip, reused per pair
+    java.util.Arrays.sort(out)
     out
   }
 }

@@ -88,6 +88,15 @@ package object functions {
     bridge.column(graft.catalyst.MinHashTextExpr(bridge.expression(c), k, numPerms))
   }
 
+  /** |A ∩ B| of two SORTED distinct array<long> columns (what
+    * Text.shingleHashesBytes / Pcm.fingerprintHashes emit) — codegen
+    * merge walk, no per-row hash set (verify's hot loop). */
+  def sorted_intersect_count(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.catalyst.SortedIntersectCountExpr(
+      bridge.expression(a), bridge.expression(b)))
+  }
+
   /** UDF form of minhash_text (for SQL registration / dynamic args). */
   val minhash_text_udf = udf((text: String, k: Int, numPerms: Int) =>
     if (text == null) Array.emptyLongArray

@@ -102,7 +102,8 @@ object TableIO {
     * previous build is recomputed instead of served with a stale layout
     * (a round-2 signatures snapshot without the carried sh/afp columns
     * would otherwise break verify() on resume). */
-  val LayoutVersion = "v4" // v4: candidate tables keyed by 64-bit sids
+  val LayoutVersion = "v5" // v5: signature hash arrays sorted (merge-walk
+                           // intersection); v4: candidates keyed by 64-bit sids
 
   /** Stable config hash: pins results to the exact shingle/signature
     * config, like the reference pins lg_k/seed at compile time. */

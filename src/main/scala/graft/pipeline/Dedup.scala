@@ -489,7 +489,7 @@ object Dedup {
       col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
     val withB = withA.join(payloadM.select(col("sid").as("b"), col("clip_id").as("id_b"),
       col("transcript").as("text_b"), col("sh").as("sh_b"), col("afp").as("afp_b")), "b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
     // try_divide: ANSI-safe even if an upstream source hands us genuinely
     // empty shingle arrays (a null pair then scores null -> filtered out)
     val jac = try_divide(inter, size(col("sh_a")) + size(col("sh_b")) - inter)
@@ -615,10 +615,10 @@ object Dedup {
     io.readOrCompute("clusters", h)(clusters(spark, clips, edges))
   }
 
-  /** Exact Jaccard over two pre-computed hash arrays (audio frame sets) —
-    * built-in expression combo, stays in codegen. */
+  /** Exact Jaccard over two pre-computed SORTED hash arrays (audio frame
+    * sets) — codegen merge walk, no per-row hash set. */
   private def array_jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = sorted_intersect_count(a, b)
     val uni = size(a) + size(b) - inter
     when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }

@@ -37,7 +37,7 @@ object StreamingDedup {
     val cands = textCandidatePairs(clips, cfg)
     val withA = cands.join(payload.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
     val withB = withA.join(payload.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val inter = sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
     val jac = try_divide(inter, size(col("sh_a")) + size(col("sh_b")) - inter)
     withB.withColumn("jaccard", jac)
       .where(col("jaccard") >= cfg.tau)

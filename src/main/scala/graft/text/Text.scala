@@ -33,6 +33,11 @@ object Text {
     val it = set.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    // sorted output: downstream set-intersection (verify's hot loop) runs
+    // as a zero-allocation merge walk (SortedIntersectCountExpr) instead
+    // of a per-row hash set; sorting once per DOC amortizes over every
+    // candidate PAIR the doc appears in
+    java.util.Arrays.sort(out)
     out
   }
 

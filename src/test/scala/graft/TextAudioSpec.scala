@@ -109,4 +109,25 @@ class TextAudioSpec extends AnyFunSuite {
     val stub2 = Pcm.decode(Array[Byte](1, 2, 3, 4), "opus")
     assert(stub1.toSeq == stub2.toSeq && stub1.forall(v => v >= -1.0 && v < 1.0))
   }
+
+  test("hash-set emitters are sorted; merge-walk count == set intersection") {
+    // the verify stage's merge-walk intersection (SortedIntersectCountExpr)
+    // requires sorted distinct inputs — pin the contract at the emitters
+    val sh = Text.shingleHashes("the quick brown fox jumps over the lazy dog", 5)
+    assert(sh.toSeq == sh.sorted.toSeq, "shingleHashes must emit sorted")
+    val sr = 8000
+    val s = Array.tabulate(4000)(i => 0.5 * math.sin(2 * math.Pi * 440 * i / sr))
+    val fp = Pcm.fingerprintHashes(s, sr)
+    assert(fp.toSeq == fp.sorted.toSeq, "fingerprintHashes must emit sorted")
+    // merge-walk equals set-intersection size on random sorted distinct arrays
+    val rng = new scala.util.Random(42)
+    (0 until 50).foreach { _ =>
+      val a = Array.fill(rng.nextInt(200))(rng.nextInt(100).toLong).distinct.sorted
+      val b = Array.fill(rng.nextInt(200))(rng.nextInt(100).toLong).distinct.sorted
+      val got = graft.catalyst.SortedIntersectCountExpr.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(b))
+      assert(got == a.toSet.intersect(b.toSet).size)
+    }
+  }
 }
