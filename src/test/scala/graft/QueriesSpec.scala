@@ -26,6 +26,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("sorted_intersect_count string dispatch matches array_intersect in codegen") {
+    val df = Seq(
+      (Seq("apple", "bee", "cat"), Seq("bee", "cat", "dog")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("éclair", "zz"), Seq("zz", "éclair"))) // non-ASCII
+      .toDF("xs", "ys")
+      .select(sort_array($"xs").as("xs"), sort_array($"ys").as("ys"))
+    val rows = df.select(
+      sorted_intersect_count($"xs", $"ys").as("walk"),
+      size(array_intersect($"xs", $"ys")).as("ref"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (walk, ref) => assert(walk == ref) }
+    // mixed types must fail analysis, not silently miscompare
+    val bad = Seq((Seq(1L), Seq("a"))).toDF("xs", "ys")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(sorted_intersect_count($"xs", $"ys")).collect()
+    }
+  }
+
   test("kmv keyed distinct equals exact countDistinct (sketch in exact regime)") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val got = q("q_keyed_distinct").as[(String, Double)].collect().toMap
