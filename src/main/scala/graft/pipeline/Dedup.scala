@@ -393,17 +393,34 @@ object Dedup {
       col("clip_id").as("id_a"), col("text").as("text_a")), "a")
     val withB = withA.join(dict.select(col("sid").as("b"),
       col("clip_id").as("id_b"), col("text").as("text_b")), "b")
+    // The per-pair SA verify costs per PAIR, not per byte, and the
+    // candidate shuffle is only ids — AQE's bytes-proportional partition
+    // coalescing would run the whole verify on a handful of tasks
+    // (measured: 6 tasks, 527 idle core-seconds, 19 s of a 25 s wall at
+    // 10k docs / 300k pairs on 32 cores). The explicit round-robin
+    // repartition is never AQE-coalesced (user-specified count) and
+    // balances hot-doc skew; the typed flatMap is an optimizer barrier, so
+    // the span filter cannot be pushed back into the coalesced join stage
+    // (PushDownPredicates traverses Repartition, but not typed maps).
     // span_len is symmetric; containment flags are computed AFTER the
-    // swap back to string id order so a_in_b refers to the output's a
-    val swap = col("id_a") > col("id_b")
-    withB.withColumn("span_len", shared_span_len(col("text_a"), col("text_b")))
-      .where(col("span_len") >= minSpan)
-      .select(
-        when(swap, col("id_b")).otherwise(col("id_a")).as("a"),
-        when(swap, col("id_a")).otherwise(col("id_b")).as("b"),
-        col("span_len"),
-        (col("span_len") === length(when(swap, col("text_b")).otherwise(col("text_a")))).as("a_in_b"),
-        (col("span_len") === length(when(swap, col("text_a")).otherwise(col("text_b")))).as("b_in_a"))
+    // swap back to string id order so a_in_b refers to the output's a.
+    val shufN = docs.sparkSession.sessionState.conf.numShufflePartitions
+    import docs.sparkSession.implicits._
+    withB.select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .repartition(shufN)
+      .as[(String, String, String, String)]
+      .flatMap { case (idA, idB, textA, textB) =>
+        val span = graft.text.SuffixArray.longestSharedSpan(textA, textB)
+        if (span < minSpan) None
+        else {
+          val (a, b, ta, tb) =
+            if (idA > idB) (idB, idA, textB, textA) else (idA, idB, textA, textB)
+          Some((a, b, span,
+            span == ta.codePointCount(0, ta.length),
+            span == tb.codePointCount(0, tb.length)))
+        }
+      }
+      .toDF("a", "b", "span_len", "a_in_b", "b_in_a")
   }
 
   /** Back-compat single-source candidate helpers (tests / SparkEntry).
