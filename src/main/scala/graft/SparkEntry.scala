@@ -283,12 +283,9 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val dot = expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-      val na = expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-      val nb = expr("sqrt(aggregate(qv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
       val scored = emb.crossJoin(broadcast(queries))
         .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", round(dot / (na * nb), 6))
+        .withColumn("cos", round(graft.functions.cosine_sim(col("embedding"), col("qv")), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))
       scored.withColumn("rk", row_number().over(w))

@@ -97,6 +97,15 @@ package object functions {
       bridge.expression(a), bridge.expression(b)))
   }
 
+  /** Exact cosine similarity of two array<float> columns — one codegen'd
+    * double loop, bit-identical to the aggregate/zip_with SQL form it
+    * replaces (see catalyst.CosineSimExpr; the ANN verify hot loop). */
+  def cosine_sim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.column(graft.catalyst.CosineSimExpr(
+      bridge.expression(a), bridge.expression(b)))
+  }
+
   /** UDF form of minhash_text (for SQL registration / dynamic args). */
   val minhash_text_udf = udf((text: String, k: Int, numPerms: Int) =>
     if (text == null) Array.emptyLongArray

@@ -72,11 +72,8 @@ object Ann {
       .distinct()
     val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr("sqrt(aggregate(ea, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    val nb = expr("sqrt(aggregate(eb, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     candIds.join(va, "a").join(vb, "b")
-      .withColumn("cos", round(dot / (na * nb), 6))
+      .withColumn("cos", round(graft.functions.cosine_sim(col("ea"), col("eb")), 6))
       .where(col("cos") >= tau)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -183,12 +180,9 @@ object Ann {
         explode(assignUdf(bcFinal, nProbe)(col("embedding"))).as("cid"))
     val cands = lists.join(broadcast(queries), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
-    val dot = expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    val nb = expr("sqrt(aggregate(qv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))
-    cands.withColumn("cos", round(dot / (na * nb), 6))
+    cands.withColumn("cos", round(graft.functions.cosine_sim(col("embedding"), col("qv")), 6))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kNeighbors)
       .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
@@ -202,14 +196,11 @@ object Ann {
       queryPred: org.apache.spark.sql.Column = col("vec_id") < 3): DataFrame = {
     val queries = emb.where(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val dot = expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    val nb = expr("sqrt(aggregate(qv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot / (na * nb), 6))
+      .withColumn("cos", round(graft.functions.cosine_sim(col("embedding"), col("qv")), 6))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kNeighbors)
       .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
@@ -299,12 +290,9 @@ object Ann {
     val cands = candIds
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries), "qid")
-    val dot = expr("aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
-    val nb = expr("sqrt(aggregate(qv, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(desc("cos"), col("vec_id"))
-    cands.withColumn("cos", round(dot / (na * nb), 6))
+    cands.withColumn("cos", round(graft.functions.cosine_sim(col("embedding"), col("qv")), 6))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= kNeighbors)
       .select(col("qid"), col("vec_id"), col("cos"), col("rk"))
