@@ -276,6 +276,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_simhash_md5" -> ((s, dir) => {
+      // the same SimHash bit-vote combiner under the DRIVER gate: token
+      // hashes are md5-derived (first 8 bytes big-endian), which DuckDB
+      // replays bit-exactly in SQL — so the sign-vote fold, tie rule
+      // (acc == 0 → bit 0) and bit packing are all hash-checked, not just
+      // ScalaTest-pinned. Production simhash_text differs only in the
+      // per-token hash (seeded Murmur3 over word bigrams).
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), simhash_md5_words(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- similarity search over embeddings ----------------------------------
     "q_ann_bruteforce" -> ((s, dir) => {
       // top-10 cosine neighbors of query vectors 0..2: brute force,
@@ -646,6 +658,35 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, length(text) AS n
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // SimHash replay: same bit-vote as SimHasher.simhash, md5-derived token
+    // hashes (first 8 md5 bytes, big-endian). bit_or over HUGEINT (not SUM,
+    // which promotes to DOUBLE and corrupts low bits; not UBIGINT <<, which
+    // range-errors at bit 63). The final CASE reinterprets the u64 as the
+    // two's-complement BIGINT Spark emits.
+    "q_simhash_md5" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+        |  FROM words WHERE w <> ''
+        |), bits AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> CAST(bit AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+        |  GROUP BY doc_id, bit
+        |), fp AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << CAST(bit AS HUGEINT)
+        |           ELSE CAST(0 AS HUGEINT) END) AS v
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(CASE WHEN v >= 9223372036854775808
+        |    THEN CAST(CAST(v AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |    ELSE CAST(v AS BIGINT) END, 0) AS simhash
+        |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_minhash_lsh_docs" ->
       """WITH sh AS (

@@ -122,6 +122,23 @@ package object functions {
   val simhash_text = udf((text: String) =>
     if (text == null) 0L else SimHasher.simhash(Text.wordNgramHashes(text, 2)))
 
+  /** Oracle-replayable SimHash: the identical bit-vote combiner
+    * (SimHasher.simhash) but with token hashes taken as the first 8 bytes
+    * (big-endian) of MD5 over each whitespace-split word — a hash DuckDB
+    * reproduces in SQL (md5 + hex→UBIGINT cast), so the driver gate covers
+    * the SimHash machinery end to end. The pipeline's production variant
+    * (simhash_text) stays Murmur-seeded and is pinned by SketchSpec. */
+  val simhash_md5_words = udf((text: String) =>
+    if (text == null) 0L
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = text.split(' ').iterator.filter(_.nonEmpty).map { w =>
+        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.ByteBuffer.wrap(d, 0, 8).getLong // big-endian first 8 bytes
+      }.toArray
+      SimHasher.simhash(hs)
+    })
+
   val simhash_buckets = udf((sim: Long, chunks: Int) => SimHasher.bucketKeys(sim, chunks))
 
   val simhash_combo_buckets = udf((sim: Long) => SimHasher.comboBucketKeys(sim))
