@@ -72,24 +72,29 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
-    var prevSig: Option[Row2] = None
     val tLoop = System.nanoTime()
+    // TWO rounds per materialization + probe: the driver-serial loop's
+    // fixed latency (checkpoint barrier + probe job per pass) halves,
+    // at worst one extra (cheap, already-converged) round pair. The
+    // checkpoint still truncates lineage every pass, so the plan stays
+    // bounded (CcPlanSpec). Signing the INITIAL frame (one cheap agg over
+    // the just-materialized edges) lets the loop converge one full
+    // materialized iteration earlier than a prev-vs-prev comparison —
+    // measured 3 -> 2 round-pairs on the sf0.1 cluster graphs, and an
+    // already-star-shaped input (checkpoint resume) converges in ONE.
+    // (Tried and rejected: disabling AQE inside the loop — without
+    // runtime stats the payload-less frames plan as sort-merge joins and
+    // a 244-row confirmation pass got SLOWER, 4.1 s vs 1.6 s; AQE's
+    // runtime broadcast conversion is worth its replan latency here.)
+    var prevSig = signature(e)
     while (!converged && iter < maxIter) {
-      // TWO rounds per materialization + probe: the driver-serial loop's
-      // fixed latency (checkpoint barrier + probe job per pass) halves,
-      // at worst one extra (cheap, already-converged) round pair. The
-      // checkpoint still truncates lineage every pass, so the plan stays
-      // bounded (CcPlanSpec).
       val tIter = System.nanoTime()
       val next = Dedup.materialize(round(round(e)), StorageLevel.MEMORY_AND_DISK_SER)
       val tMat = System.nanoTime()
-      // probe from pass 2 on: pass 1 of a non-trivial graph never converges
-      if (iter >= 1) {
-        val sig = signature(next)
-        converged = prevSig.contains(sig)
-        prevSig = Some(sig)
-      }
-      System.err.println(f"[cc] iter $iter: materialize ${(tMat - tIter) / 1e9}%.1f s, probe ${(System.nanoTime() - tMat) / 1e9}%.1f s")
+      val sig = signature(next)
+      converged = sig == prevSig
+      prevSig = sig
+      System.err.println(f"[cc] iter $iter: materialize ${(tMat - tIter) / 1e9}%.1f s, probe ${(System.nanoTime() - tMat) / 1e9}%.1f s, rows ${sig.n}")
       e.unpersist()
       e = next
       iter += 1
