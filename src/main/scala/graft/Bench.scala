@@ -121,15 +121,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     cleanStaleScratch()
     val spark = makeSession(cpus)
-    // unmeasured warmup: parquet reader, codegen, kryo, and the pipeline's
-    // UDF/aggregator paths all JIT here instead of inside the first
-    // measured query (round-over-round comparisons were startup noise)
-    try {
-      SparkEntry.queries("q1_agg")(spark, sfDir).count()
-      graft.pipeline.Dedup.run(spark,
-        graft.gen.ClipGen.generate(spark, 500, seed = 7L)._1.toDF(),
-        graft.pipeline.DedupConfig()).count()
-    } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    // unmeasured warmup: parquet reader, codegen, kryo, and every
+    // headline plan shape JIT/compile at sf0.001 instead of inside the
+    // measured run (round-over-round comparisons were startup noise;
+    // whole-stage codegen compile is one-time per PLAN SHAPE, so a cold
+    // first execution measures the Janino compiler, not the engine —
+    // q_cc_clusters measured 18.9 s cold vs 12.0 s steady-state)
+    val warmDir = "/root/testdata/sf0.001"
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
+    }
+    try graft.pipeline.Dedup.run(spark,
+      graft.gen.ClipGen.generate(spark, 500, seed = 7L)._1.toDF(),
+      graft.pipeline.DedupConfig()).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val results = headline.map { name =>
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, sfDir).count()

@@ -52,6 +52,26 @@ class CcSpec extends AnyFunSuite {
     }
   }
 
+  test("cc: already-star-shaped input converges in one round pair") {
+    // the upfront input signature lets a converged frame (e.g. checkpoint
+    // resume re-running CC over its own output edges) stop after a single
+    // materialized round pair instead of two
+    val stars = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (10L, 12L))
+    // the [cc] loop logs go through System.err (not scala.Console), so
+    // capture by swapping the JVM stream
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    val got =
+      try {
+        System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+        ConnectedComponents.run(spark, stars.toDF("u", "v")).as[(Long, Long)].collect().toMap
+      } finally System.setErr(prev)
+    assert(got == exactCc(stars))
+    val log = buf.toString("UTF-8")
+    assert(log.contains("converged after 1 round-pairs"),
+      s"expected single-round-pair convergence, log:\n$log")
+  }
+
   test("cc intermediates are RELIABLY checkpointed when a checkpoint dir is set") {
     // the round-2 scale-killer: CC used executor-local checkpoints even
     // when the session had a reliable checkpoint dir — one lost executor
