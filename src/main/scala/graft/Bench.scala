@@ -178,7 +178,7 @@ object Bench {
             s""","scaling_error":"insufficient disk: ${(freeTmpBytes() / 1e9).round}GB free, need ${(needBytes / 1e9).round}GB""""
           else {
             val r = ScalingBench.measure(nClips = scalingN,
-              reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
+              reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt)
             // per-stage wall + efficiency of the best pair: names WHICH
             // stage binds the N -> 4N scaling (round-3 verdict #7)
             f""","scaling_efficiency":${r.eff}%.3f,"scaling_thr_local${ScalingBench.scalingCpusLo}":${r.thrLo}%.1f,"scaling_thr_local${ScalingBench.scalingCpusHi}":${r.thrHi}%.1f,"scaling_n_clips":$scalingN""" +
@@ -384,7 +384,7 @@ object ScalingBench {
       // crashes (child OOM, disk, kill) is logged and skipped; extra
       // reps are skipped once the wall budget is spent; one pair always
       // runs, so a result is always produced.
-      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "2700").toLong
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "3600").toLong
       val tStart = System.nanoTime()
       def elapsedS: Long = (System.nanoTime() - tStart) / 1000000000L
       // N vs 4N cores = local[2] vs local[8] (the driver instruction allows
@@ -464,7 +464,7 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nClips = if (args.nonEmpty) args(0).toInt else 600000
-    val r = measure(nClips, reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
+    val r = measure(nClips, reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt)
     println(f"""{"metric":"scaling_efficiency","value":${r.eff}%.3f,"unit":"ratio","thr_lo":${r.thrLo}%.1f,"thr_hi":${r.thrHi}%.1f,"n_clips":$nClips,"stage_efficiency":${stageEfficiencyJson(r.stagesLo, r.stagesHi)}}""")
   }
 }
