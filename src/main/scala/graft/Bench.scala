@@ -184,7 +184,12 @@ object Bench {
             f""","scaling_efficiency":${r.eff}%.3f,"scaling_thr_local${ScalingBench.scalingCpusLo}":${r.thrLo}%.1f,"scaling_thr_local${ScalingBench.scalingCpusHi}":${r.thrHi}%.1f,"scaling_n_clips":$scalingN""" +
               s""","stage_sec_local${ScalingBench.scalingCpusLo}":${ScalingBench.stageSecJson(r.stagesLo)}""" +
               s""","stage_sec_local${ScalingBench.scalingCpusHi}":${ScalingBench.stageSecJson(r.stagesHi)}""" +
-              s""","stage_efficiency":${ScalingBench.stageEfficiencyJson(r.stagesLo, r.stagesHi)}"""
+              s""","stage_efficiency":${ScalingBench.stageEfficiencyJson(r.stagesLo, r.stagesHi)}""" +
+              // host-speed probes bracketing the SELECTED pair (~800 Mops
+              // = healthy on this box): makes hypervisor collapse windows
+              // visible in the artifact itself, not just the run log
+              s""","scaling_probes_mops":${r.probesMops.map(p => f"$p%.0f").mkString("[", ",", "]")}""" +
+              s""","scaling_pair":"${r.pairIdx} of ${r.nPairs}""""
           }
         } catch {
           case e: Throwable =>
@@ -357,7 +362,8 @@ object ScalingBench {
     * pair's per-stage wall seconds at each parallelism (the diagnosis of
     * WHICH stage binds scaling, emitted into the bench artifact). */
   final case class ScalingResult(eff: Double, thrLo: Double, thrHi: Double,
-      stagesLo: Seq[(String, Double)], stagesHi: Seq[(String, Double)])
+      stagesLo: Seq[(String, Double)], stagesHi: Seq[(String, Double)],
+      probesMops: Seq[Double], pairIdx: Int, nPairs: Int)
 
   /** Best-of-`reps` fresh-JVM runs at each parallelism; max throughput is
     * the capability number on a shared box. */
@@ -417,7 +423,8 @@ object ScalingBench {
               f"probes $p0%.0f/$p1%.0f/$p2%.0f Mops (t+${elapsedS}s)")
             if (best.forall(_._1 > combined))
               best = Some((combined,
-                ScalingResult((thrHi / thrLo) / 4.0, thrLo, thrHi, stLo, stHi)))
+                ScalingResult((thrHi / thrLo) / 4.0, thrLo, thrHi, stLo, stHi,
+                  Seq(p0, p1, p2), i, reps)))
           } catch {
             case e: Throwable =>
               System.err.println(s"[scaling] pair $i FAILED: ${e.getMessage}")
