@@ -256,4 +256,21 @@ class SketchSpec extends AnyFunSuite {
     val kb = SimHasher.bucketKeys(b, 4).toSet
     if (SimHasher.hammingDistance(a, b) <= 3) assert(ka.intersect(kb).nonEmpty)
   }
+
+  test("simhash md5 token hash: big-endian first 8 md5 bytes, pinned values") {
+    // pins the hash convention the q_simhash_md5 DuckDB oracle replays
+    // (CAST(concat('0x', substr(md5(w),1,16)) AS UBIGINT)); if the UDF's
+    // byte order or digest ever drifts, this fails before the driver gate
+    def h64(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
+    // md5("abc") = 900150983cd24fb0... -> 0x900150983cd24fb0
+    assert(h64("abc") == 0x900150983cd24fb0L)
+    // the full simhash fold over "hello world hello" (duplicates kept),
+    // cross-checked against DuckDB 1.0 and an independent python fold
+    val toks = "hello world hello".split(' ').map(h64)
+    assert(SimHasher.simhash(toks) == 6719722671305337462L)
+  }
 }
