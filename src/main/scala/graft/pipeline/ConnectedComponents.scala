@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components via alternating large-star/small-star
@@ -21,15 +22,39 @@ import org.apache.spark.storage.StorageLevel
   *    run (the reference's whole merge protocol exists to make every
   *    stage restartable, /root/reference/src/main.rs:63-76); without a
   *    dir it falls back to executor-local blocks (test/sandbox mode);
-  *  - convergence test is a cheap aggregate (sum of hashes), not collect.
+  *  - convergence test is a cheap aggregate (sum of hashes), not collect;
+  *  - HYBRID finisher: a frame at or below `localEdgeThreshold` distinct
+  *    edges (initially, or after any round-pair as the stars collapse) is
+  *    closed by one collect + driver union-find instead of more rounds.
+  *    Each distributed round-pair costs seconds of driver-serial latency
+  *    regardless of rows; at the threshold the collect is ~64 MB. The
+  *    distributed rounds remain the path for big frames and are pinned by
+  *    CcSpec/CcPlanSpec at threshold 0.
   */
 object ConnectedComponents {
+
+  /** Below this many distinct canonical edges the remaining closure is
+    * latency-bound, not throughput-bound: each distributed round-pair costs
+    * a fixed several seconds of driver-serial scheduling (checkpoint
+    * barrier + AQE replans per exchange) regardless of row count, while a
+    * driver union-find over 2M (long,long) edges is ~64 MB collected and
+    * milliseconds of compute. Verified-duplicate edge frames are SPARSE —
+    * only actual duplicates produce edges — so even very large corpora
+    * often finish here; frames above the threshold run the log-round star
+    * algorithm, and a shrinking frame drops into the local finisher the
+    * moment it crosses the line. */
+  val DefaultLocalEdgeThreshold = 2000000L
 
   /** edges: two columns (src, dst) of any orderable type — long in tests,
     * struct<long,long> for the 128-bit string-id path — undirected,
     * self-loops ignored. Returns (node, component) where component = min
-    * node id reachable — canonical cluster id (SURVEY §5). */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * node id reachable — canonical cluster id (SURVEY §5).
+    *
+    * localEdgeThreshold: frames at or below this edge count are closed by
+    * a single-collect driver union-find instead of distributed rounds
+    * (0 forces the distributed path — used by the plan/checkpoint specs). */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): DataFrame = {
     import spark.implicits._
 
     // canonical undirected edge list, deduped, self-loops dropped
@@ -87,6 +112,10 @@ object ConnectedComponents {
     // a 244-row confirmation pass got SLOWER, 4.1 s vs 1.6 s; AQE's
     // runtime broadcast conversion is worth its replan latency here.)
     var prevSig = signature(e)
+    if (localFinishable(e, prevSig.n, localEdgeThreshold)) {
+      System.err.println(s"[cc] local finish: ${prevSig.n} edges <= $localEdgeThreshold")
+      return localFinish(spark, e)
+    }
     while (!converged && iter < maxIter) {
       val tIter = System.nanoTime()
       val next = Dedup.materialize(round(round(e)), StorageLevel.MEMORY_AND_DISK_SER)
@@ -98,6 +127,13 @@ object ConnectedComponents {
       e.unpersist()
       e = next
       iter += 1
+      // star rounds collapse the frame toward (root, member) stars —
+      // once the survivor set fits, one collect beats more latency-bound
+      // round-pairs (connectivity and the vertex set are round-invariant)
+      if (!converged && localFinishable(e, sig.n, localEdgeThreshold)) {
+        System.err.println(s"[cc] local finish after $iter round-pairs: ${sig.n} edges <= $localEdgeThreshold")
+        return localFinish(spark, e)
+      }
     }
     require(converged, s"connected components did not converge in $maxIter iterations")
     // driver-serial loop latency is the scaling-efficiency suspect #1:
@@ -110,6 +146,82 @@ object ConnectedComponents {
       .union(e.select($"u".as("node"), $"u".as("component")))
       .groupBy($"node").agg(min($"component").as("component"))
     out
+  }
+
+  /** The local finisher handles the two vertex types the engine produces
+    * (long test ids, struct<long,long> 128-bit hash ids); anything else
+    * stays on the distributed path. */
+  private def localFinishable(e: DataFrame, n: Long, threshold: Long): Boolean =
+    n <= threshold && (e.schema("u").dataType match {
+      case LongType => true
+      case st: StructType =>
+        st.fields.length == 2 && st.fields.forall(_.dataType == LongType)
+      case _ => false
+    })
+
+  /** Single-collect driver union-find over a small (already canonical,
+    * distinct, persisted) edge frame. Output contract and component
+    * labels (min reachable node, Spark's struct ordering = lexicographic
+    * on the two longs) are identical to the distributed path — CcSpec
+    * asserts both paths against the same exact oracle. */
+  private def localFinish(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dt = e.schema("u").dataType
+    dt match {
+      case LongType =>
+        val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        e.unpersist()
+        unionFind(edges).toSeq.toDF("node", "component")
+      case _ =>
+        val edges = e.collect().map { r =>
+          val a = r.getStruct(0); val b = r.getStruct(1)
+          ((a.getLong(0), a.getLong(1)), (b.getLong(0), b.getLong(1)))
+        }
+        e.unpersist()
+        val rows = unionFind(edges).map { case ((n1, n2), (c1, c2)) =>
+          Row(Row(n1, n2), Row(c1, c2))
+        }
+        val schema = StructType(Seq(
+          StructField("node", dt, nullable = false),
+          StructField("component", dt, nullable = false)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq,
+            math.max(1, rows.length / 500000)),
+          schema)
+    }
+  }
+
+  /** (node, min node in its component) for every distinct endpoint —
+    * path-halving union-find with union-by-min-index, O(E α(V)). */
+  private def unionFind[T](edges: Array[(T, T)])(
+      implicit ord: Ordering[T]): Array[(T, T)] = {
+    val idx = new java.util.HashMap[T, Integer](edges.length * 2)
+    val keys = new scala.collection.mutable.ArrayBuffer[T]
+    def id(k: T): Int = {
+      val got = idx.get(k)
+      if (got != null) got.intValue
+      else { val i = keys.length; idx.put(k, i); keys += k; i }
+    }
+    val ids = edges.map { case (a, b) => (id(a), id(b)) }
+    val parent = Array.tabulate(keys.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    ids.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val minOf = new java.util.HashMap[Integer, T]
+    var i = 0
+    while (i < keys.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(keys(i), cur)) minOf.put(r, keys(i))
+      i += 1
+    }
+    Array.tabulate(keys.length) { k => (keys(k), minOf.get(find(k))) }
   }
 
   private case class Row2(n: Long, h: Long)
@@ -128,8 +240,27 @@ object ConnectedComponents {
     * negligible at any feasible scale, with no collision-guard pass and
     * no abort path. The generic `run` works unchanged because struct
     * columns are orderable (least/greatest/min) and hashable in Spark. */
-  def runOnStrings(spark: SparkSession, edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def runOnStrings(spark: SparkSession, edges: DataFrame, aCol: String, bCol: String,
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): DataFrame = {
     import spark.implicits._
+    // persist + count once: the cache makes the count pass free for the
+    // big path too (verts + edge relabeling consumed this frame twice
+    // already), and a small frame short-circuits the ENTIRE hash-id plane —
+    // no verts checkpoint, no 4 relabeling/representative joins, and the
+    // component representative (min ORIGINAL string id) falls directly out
+    // of the union-find. Cluster labels are identical to the distributed
+    // path by construction (CcSpec pins both).
+    val cached = edges.select(col(aCol), col(bCol))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nEdges = cached.count()
+    if (nEdges <= localEdgeThreshold) {
+      val pairs = cached.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .filter { case (a, b) => a != b } // self-loops: same drop as run()
+      cached.unpersist(blocking = false)
+      System.err.println(s"[cc] local finish (string ids): $nEdges edges <= $localEdgeThreshold")
+      return unionFind(pairs).toSeq.toDF("clip_id", "cluster_id")
+    }
     val hash128 = udf { (s: String) =>
       graft.sketch.Murmur3x64.hash128(
         s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -138,15 +269,19 @@ object ConnectedComponents {
     // materialized once: reused for both edge joins and the final id
     // mapping — and it cuts the upstream (possibly very expensive)
     // edge-producing plan out of the returned lineage
-    val verts = Dedup.materialize(edges.select(col(aCol).as("id"))
-      .union(edges.select(col(bCol).as("id")))
+    val verts = Dedup.materialize(cached.select(col(aCol).as("id"))
+      .union(cached.select(col(bCol).as("id")))
       .distinct()
       .withColumn("nid", hash128($"id")), StorageLevel.MEMORY_AND_DISK_SER)
-    val eN = edges
+    val eN = cached
       .join(verts.select($"id".as(aCol), $"nid".as("u")), aCol)
       .join(verts.select($"id".as(bCol), $"nid".as("v")), bCol)
       .select($"u", $"v")
-    val cc = run(spark, eN)
+    val cc = run(spark, eN, localEdgeThreshold = localEdgeThreshold)
+    // run() eagerly materialized eN's canonical frame, so the edge cache
+    // is out of every remaining lineage (cc is built on converged state,
+    // the joins below on verts)
+    cached.unpersist(blocking = false)
     // component representative = min ORIGINAL id in the component (stable,
     // partition-invariant cluster ids; SURVEY §5)
     val withIds = cc.join(verts.select($"nid".as("node"), $"id"), "node")

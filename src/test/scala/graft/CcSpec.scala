@@ -26,10 +26,16 @@ class CcSpec extends AnyFunSuite {
   }
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
-    val got = ConnectedComponents.run(spark, edges.toDF("u", "v"))
-      .as[(Long, Long)].collect().toMap
     val want = exactCc(edges)
-    assert(got == want, s"got=${got.toSeq.sorted.take(20)} want=${want.toSeq.sorted.take(20)}")
+    // both paths must agree with the exact oracle: default threshold
+    // (small frame -> driver union-find) and 0 (forced distributed rounds)
+    for (thr <- Seq(ConnectedComponents.DefaultLocalEdgeThreshold, 0L)) {
+      val got = ConnectedComponents.run(spark, edges.toDF("u", "v"),
+          localEdgeThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want,
+        s"thr=$thr got=${got.toSeq.sorted.take(20)} want=${want.toSeq.sorted.take(20)}")
+    }
   }
 
   test("cc: chains, cliques, singleton-free, star, disjoint") {
@@ -45,11 +51,34 @@ class CcSpec extends AnyFunSuite {
     val edges = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
       .filter { case (a, b) => a != b }
     val want = exactCc(edges)
-    for (p <- Seq(1, 8)) {
-      val got = ConnectedComponents.run(spark, edges.toDF("u", "v").repartition(p))
+    for (p <- Seq(1, 8); thr <- Seq(ConnectedComponents.DefaultLocalEdgeThreshold, 0L)) {
+      val got = ConnectedComponents.run(spark, edges.toDF("u", "v").repartition(p),
+          localEdgeThreshold = thr)
         .as[(Long, Long)].collect().toMap
-      assert(got == want, s"partitions=$p mismatch")
+      assert(got == want, s"partitions=$p thr=$thr mismatch")
     }
+  }
+
+  test("cc: mid-loop local finish (shrinking frame crosses the threshold) is exact") {
+    // ~1900 distinct canonical edges over 500 nodes: above threshold 600 at
+    // round 0, far below it after one star round-pair — exercises the
+    // in-loop handoff where the collected frame is a round OUTPUT, not the
+    // input graph (connectivity + vertex set must be round-invariant)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(2500)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (a, b) => a != b }
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    val got =
+      try {
+        System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+        ConnectedComponents.run(spark, edges.toDF("u", "v"), localEdgeThreshold = 600L)
+          .as[(Long, Long)].collect().toMap
+      } finally System.setErr(prev)
+    assert(got == exactCc(edges))
+    val log = buf.toString("UTF-8")
+    assert(log.contains("local finish after"),
+      s"expected the mid-loop local handoff to fire, log:\n$log")
   }
 
   test("cc: already-star-shaped input converges in one round pair") {
@@ -64,7 +93,10 @@ class CcSpec extends AnyFunSuite {
     val got =
       try {
         System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
-        ConnectedComponents.run(spark, stars.toDF("u", "v")).as[(Long, Long)].collect().toMap
+        // threshold 0: the single-round-pair convergence claim is about
+        // the DISTRIBUTED loop's upfront input signature
+        ConnectedComponents.run(spark, stars.toDF("u", "v"), localEdgeThreshold = 0L)
+          .as[(Long, Long)].collect().toMap
       } finally System.setErr(prev)
     assert(got == exactCc(stars))
     val log = buf.toString("UTF-8")
@@ -85,7 +117,9 @@ class CcSpec extends AnyFunSuite {
     sc.setCheckpointDir(dir.toString)
     try {
       val edges = ((1L to 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))).toDF("u", "v")
-      val got = ConnectedComponents.run(spark, edges).as[(Long, Long)].collect().toMap
+      // threshold 0: round-state checkpointing is a distributed-loop property
+      val got = ConnectedComponents.run(spark, edges, localEdgeThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
       val want = exactCc((1L to 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
       assert(got == want)
       def countFiles(f: java.io.File): Int =
@@ -104,8 +138,13 @@ class CcSpec extends AnyFunSuite {
 
   test("cc on string ids: canonical cluster id is min original id") {
     val edges = Seq(("x9", "x2"), ("x2", "x5"), ("a1", "a2")).toDF("a", "b")
-    val got = ConnectedComponents.runOnStrings(spark, edges, "a", "b")
-      .as[(String, String)].collect().toMap
-    assert(got == Map("x9" -> "x2", "x2" -> "x2", "x5" -> "x2", "a1" -> "a1", "a2" -> "a1"))
+    val want = Map("x9" -> "x2", "x2" -> "x2", "x5" -> "x2", "a1" -> "a1", "a2" -> "a1")
+    // both paths on the struct<long,long> hash-id plane
+    for (thr <- Seq(ConnectedComponents.DefaultLocalEdgeThreshold, 0L)) {
+      val got = ConnectedComponents.runOnStrings(spark, edges, "a", "b",
+          localEdgeThreshold = thr)
+        .as[(String, String)].collect().toMap
+      assert(got == want, s"thr=$thr")
+    }
   }
 }
