@@ -357,6 +357,10 @@ object SparkEntry {
 
     // --- the north-star pipeline on synthetic clips -------------------------
     "q_pipeline_clusters" -> ((s, dir) => {
+      // FULL multimodal pipeline (all four evidence sources + audio +
+      // containment verify). Oracle-replayable via the clips_sigs /
+      // clips_buckets side dumps Verify writes: see oracleSql for the
+      // replay derivation and its scope.
       Dedup.run(s, clipsInput(s, dir), DedupConfig()).orderBy(col("clip_id"))
     }),
 
@@ -809,6 +813,57 @@ object SparkEntry {
         |  SELECT inter.a, inter.b
         |  FROM inter JOIN sz sa ON inter.a = sa.clip_id JOIN sz sb ON inter.b = sb.clip_id
         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |), e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u
+        |)
+        |SELECT c.clip_id, least(c.clip_id, coalesce(min(r.v), c.clip_id)) AS cluster_id
+        |FROM c LEFT JOIN reach r ON r.u = c.clip_id
+        |GROUP BY c.clip_id ORDER BY c.clip_id""".stripMargin,
+
+    "q_pipeline_clusters" ->
+      // FULL multimodal flagship replay. Candidates: the dumped bucket
+      // memberships ({OUT}/clips_buckets, all four evidence sources) —
+      // LSH banding is DETERMINISTIC given the signatures, and below
+      // hotBucketLimit the pair pass emits all within-bucket pairs, so
+      // the self-join on (source, bucket) IS the candidate set. For the
+      // few over-limit buckets (winnow buckets reach ~96 members at
+      // sf0.01) Spark emits chunk+chain pairs — a connectivity-preserving
+      // SUBSET of this SQL's all-pairs — and the CLUSTER-level outputs
+      // still agree because chain edges inside an over-limit bucket are
+      // near-identical-doc pairs that pass verify (same argument, and
+      // same empirical gate, as the text variant's hot buckets). Verify:
+      // the exact predicate over the dumped per-clip hash sets
+      // ({OUT}/clips_sigs: sh = shingle hashes, afp = audio frame
+      // fingerprints — the same sorted distinct sets verify consumes;
+      // their CONSTRUCTION is pinned separately by TextAudioSpec against
+      // the in-repo reference decoder): shingle J >= 0.8 OR shingle
+      // containment >= 0.9 (is_sub only fires when containment already
+      // passed, so it never widens the predicate) OR audio frame-set
+      // J >= 0.35 (empty-vs-empty scores 1.0, matching array_jaccard).
+      // Clusters: transitive closure -> min clip_id; singletons self-map.
+      """WITH RECURSIVE c AS (
+        |  SELECT clip_id FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |), sg AS (
+        |  SELECT clip_id, sh, afp FROM read_parquet('{OUT}/clips_sigs/*.parquet')
+        |), cb AS (
+        |  SELECT clip_id, source, bucket FROM read_parquet('{OUT}/clips_buckets/*.parquet')
+        |), cand AS (
+        |  SELECT DISTINCT a.clip_id AS a, b.clip_id AS b
+        |  FROM cb a JOIN cb b ON a.source = b.source AND a.bucket = b.bucket AND a.clip_id < b.clip_id
+        |), scored AS (
+        |  SELECT cand.a, cand.b,
+        |    len(list_intersect(sa.sh, sb.sh)) AS ish, len(sa.sh) AS nsa, len(sb.sh) AS nsb,
+        |    len(list_intersect(sa.afp, sb.afp)) AS iaf, len(sa.afp) AS naa, len(sb.afp) AS nab
+        |  FROM cand JOIN sg sa ON cand.a = sa.clip_id JOIN sg sb ON cand.b = sb.clip_id
+        |), pairs AS (
+        |  SELECT a, b FROM scored
+        |  WHERE CAST(ish AS DOUBLE) / nullif(nsa + nsb - ish, 0) >= 0.8
+        |     OR CAST(ish AS DOUBLE) / nullif(least(nsa, nsb), 0) >= 0.9
+        |     OR (CASE WHEN naa + nab - iaf = 0 THEN 1.0
+        |          ELSE CAST(iaf AS DOUBLE) / (naa + nab - iaf) END) >= 0.35
         |), e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
         |reach AS (
         |  SELECT u, v FROM e

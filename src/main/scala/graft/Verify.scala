@@ -23,6 +23,26 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] clips_input persist failed: ${e.getMessage}")
     }
+    // signature + bucket dumps for the FULL-pipeline oracle: the DuckDB
+    // replay needs each clip's shingle/audio-fingerprint hash sets (the
+    // verify inputs; pinned separately against the in-repo reference
+    // decoder by TextAudioSpec) and its bucket memberships (the candidate
+    // stage replay — deterministic given the signatures)
+    try {
+      val cfg = graft.pipeline.DedupConfig()
+      val sigs = graft.pipeline.Dedup
+        .signatures(SparkEntry.clipsInput(spark, sfDir), cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.select(org.apache.spark.sql.functions.col("clip_id"),
+          org.apache.spark.sql.functions.col("sh"),
+          org.apache.spark.sql.functions.col("afp"))
+        .write.mode("overwrite").parquet(s"$absOut/clips_sigs")
+      graft.pipeline.Dedup.bucketDump(sigs, cfg)
+        .write.mode("overwrite").parquet(s"$absOut/clips_buckets")
+      sigs.unpersist(blocking = false): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] sig/bucket dump failed: ${e.getMessage}")
+    }
     // raw-fixture copies for the DuckDB oracles (q_lines_scan /
     // q_csv_extract read the tmpdir originals; content is identical by
     // construction — both are pure functions of RawFixtures)

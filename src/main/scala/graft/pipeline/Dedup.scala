@@ -443,6 +443,32 @@ object Dedup {
       .distinct()
   }
 
+  /** The enabled sources' bucket fan-out, one frame (sid, bucket, source). */
+  private def enabledBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val builders = Map[String, (DataFrame, DedupConfig) => DataFrame](
+      "minhash" -> textBuckets, "simhash" -> simhashBuckets,
+      "audio" -> audioBuckets, "substring" -> substringBuckets,
+      "containment" -> containmentBuckets)
+    val enabled = Seq("minhash", "simhash", "audio", "substring", "containment")
+      .filter(cfg.sources)
+    require(enabled.nonEmpty, s"no known candidate sources in ${cfg.sources}")
+    enabled.map(s => builders(s)(sigs, cfg)).reduce(_ unionByName _)
+  }
+
+  /** Oracle-support dump: every clip's bucket memberships across the
+    * enabled evidence sources, decoded to (clip_id, source, bucket).
+    * Verify persists this beside clips_input so the DuckDB oracle can
+    * replay the candidate stage EXACTLY — below hotBucketLimit the pair
+    * pass emits all within-bucket pairs (rawRuns), so candidates ==
+    * the SQL self-join on (source, bucket). LSH/banding is deterministic
+    * given the signatures; no probabilistic-recall caveat applies to the
+    * replay itself. */
+  def bucketDump(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val dict = sigs.select(sidOf(col("clip_id")).as("sid"), col("clip_id"))
+    enabledBuckets(sigs, cfg).join(dict, "sid")
+      .select(col("clip_id"), decodeSource(col("source")).as("source"), col("bucket"))
+  }
+
   def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     // NOTE: containmentBuckets (b=8, r=2 loose minhash bands) is NOT in
     // the default union: its junk-collision rate for unrelated docs is
@@ -451,14 +477,7 @@ object Dedup {
     // could find is already GUARANTEED a candidate by the winnowing
     // substring pass (any contiguous shared span >= 47 chars). It stays
     // available for corpora with non-contiguous containment.
-    val builders = Map[String, (DataFrame, DedupConfig) => DataFrame](
-      "minhash" -> textBuckets, "simhash" -> simhashBuckets,
-      "audio" -> audioBuckets, "substring" -> substringBuckets,
-      "containment" -> containmentBuckets)
-    val enabled = Seq("minhash", "simhash", "audio", "substring", "containment")
-      .filter(cfg.sources)
-    require(enabled.nonEmpty, s"no known candidate sources in ${cfg.sources}")
-    val buckets = enabled.map(s => builders(s)(sigs, cfg)).reduce(_ unionByName _)
+    val buckets = enabledBuckets(sigs, cfg)
     // the fan-out has exactly ONE consumer (the single-pass pair stage),
     // so it flows straight into that shuffle — no barrier
     // output keeps the compact 64-bit sid keys (a, b): the verify stage
