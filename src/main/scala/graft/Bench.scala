@@ -26,7 +26,7 @@ object Bench {
     "q_dedup_exact", "q_word_jaccard_pairs",
     "q_minhash_lsh_docs", "q_cc_clusters", "q_shared_spans",
     "q_token_stats", "q_quality", "q_fingerprint",
-    "q_lang_id", "q_simhash_docs", "q_simhash_md5",
+    "q_lang_id", "q_simhash_docs", "q_simhash_md5", "q_simhash_hamming_pairs",
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_sel",
     "q_embed_neardup",
     "q_multimodal_meta", "q_pipeline_text_clusters",

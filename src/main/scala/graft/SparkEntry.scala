@@ -288,6 +288,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_simhash_hamming_pairs" -> ((s, dir) => {
+      // the SimHash Hamming-bucket JOIN under the driver gate: all doc
+      // pairs within Hamming distance 4 of each other's 64-bit simhash,
+      // found via the pipeline's 2-of-6 block-combo bucket keys (15 keys
+      // per doc; pigeonhole: <= 4 flipped bits leave >= 2 clean blocks,
+      // so every qualifying pair shares >= 1 key — EXACT recall, never an
+      // all-pairs scan) and verified by exact bit_count(xor). md5-derived
+      // token hashes so DuckDB replays the whole path bit-exactly; the
+      // output pair set is inherently quadratic only in duplicate masses
+      // (the qualifying set itself), junk collisions at 15*2^-21.3 per
+      // unrelated pair. The clustering pipeline consumes the capped
+      // evidence form instead (Dedup star/chunk); this query is the
+      // exact-enumeration operator.
+      val fp = tbl(s, dir, "documents")
+        .select(col("doc_id"), simhash_md5_words(col("text")).as("sh"))
+      val bk = fp.select(col("doc_id"), col("sh"),
+        explode(simhash_combo_buckets(col("sh"))).as("bucket"))
+      val cand = bk.select(col("bucket"), col("doc_id").as("a"), col("sh").as("sha"))
+        .join(bk.select(col("bucket"), col("doc_id").as("b"), col("sh").as("shb")), "bucket")
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+      cand.select(col("a"), col("b"), hamming(col("sha"), col("shb")).as("hd"))
+        .where(col("hd") <= 4)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // --- similarity search over embeddings ----------------------------------
     "q_ann_bruteforce" -> ((s, dir) => {
       // top-10 cosine neighbors of query vectors 0..2: brute force,
@@ -692,6 +718,36 @@ object SparkEntry {
         |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // same simhash CTE as q_simhash_md5, then exact Hamming enumeration:
+    // DuckDB does the all-pairs xor (500 docs -> 125k pairs at the gate
+    // scale) that the Spark side must NOT do — agreement proves the
+    // bucket join loses no qualifying pair
+    "q_simhash_hamming_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+        |  FROM words WHERE w <> ''
+        |), bits AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> CAST(bit AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+        |  GROUP BY doc_id, bit
+        |), fp AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << CAST(bit AS HUGEINT)
+        |           ELSE CAST(0 AS HUGEINT) END) AS v
+        |  FROM bits GROUP BY doc_id
+        |), sh AS (
+        |  SELECT d.doc_id, CAST(coalesce(fp.v, 0) AS UBIGINT) AS u
+        |  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        |)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.u, b.u)) AS INT) AS hd
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.u, b.u)) <= 4
+        |ORDER BY a, b""".stripMargin,
+
     "q_minhash_lsh_docs" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, substr(text, CAST(u.i AS INT), 5) AS s
@@ -800,7 +856,7 @@ object SparkEntry {
       // here. (64-bit shingle-hash collisions: expected ~1e-9 per doc
       // pair at these sizes — zero at the gate.)
       """WITH RECURSIVE c AS (
-        |  SELECT clip_id, transcript FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |  SELECT clip_id, transcript FROM read_parquet('{OUT}/clips_input.parquet')
         |), sh AS (
         |  SELECT DISTINCT clip_id, substr(transcript, CAST(u.i AS INT), 5) AS s
         |  FROM c, unnest(range(1, greatest(length(transcript)-4, 1) + 1)) u(i)
@@ -845,11 +901,11 @@ object SparkEntry {
       // J >= 0.35 (empty-vs-empty scores 1.0, matching array_jaccard).
       // Clusters: transitive closure -> min clip_id; singletons self-map.
       """WITH RECURSIVE c AS (
-        |  SELECT clip_id FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |  SELECT clip_id FROM read_parquet('{OUT}/clips_input.parquet')
         |), sg AS (
-        |  SELECT clip_id, sh, afp FROM read_parquet('{OUT}/clips_sigs/*.parquet')
+        |  SELECT clip_id, sh, afp FROM read_parquet('{OUT}/clips_sigs.parquet')
         |), cb AS (
-        |  SELECT clip_id, source, bucket FROM read_parquet('{OUT}/clips_buckets/*.parquet')
+        |  SELECT clip_id, source, bucket FROM read_parquet('{OUT}/clips_buckets.parquet')
         |), cand AS (
         |  SELECT DISTINCT a.clip_id AS a, b.clip_id AS b
         |  FROM cb a JOIN cb b ON a.source = b.source AND a.bucket = b.bucket AND a.clip_id < b.clip_id
@@ -878,7 +934,7 @@ object SparkEntry {
       // span >= 47 <=> shares a 47-gram: rebuild the exact pair set from
       // a 47-gram self-join, then transitive closure -> min clip_id
       """WITH RECURSIVE c AS (
-        |  SELECT clip_id, transcript FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |  SELECT clip_id, transcript FROM read_parquet('{OUT}/clips_input.parquet')
         |), g AS (
         |  SELECT clip_id, substr(transcript, CAST(u.i AS INT), 47) AS g
         |  FROM c, unnest(range(1, greatest(length(transcript)-46, 0) + 1)) u(i)
@@ -920,7 +976,7 @@ object SparkEntry {
         |  octet_length(bytes) AS n_bytes,
         |  octet_length(bytes) // 2 AS n_samples,
         |  round((octet_length(bytes) // 2) * 1000.0 / sr_hz, 0) AS dur_check_ms
-        |FROM read_parquet('{OUT}/clips_input/*.parquet')
+        |FROM read_parquet('{OUT}/clips_input.parquet')
         |ORDER BY clip_id""".stripMargin,
 
     "q_hh_weighted" ->

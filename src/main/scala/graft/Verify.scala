@@ -16,10 +16,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val absOut = new java.io.File(outDir).getAbsolutePath
+    // Side tables for the DuckDB oracles are written as single parquet
+    // FILES, not directories: the driver's compare walks every DIRECTORY
+    // in outDir as a query result, so a directory-shaped dump shows up as
+    // a spurious no_oracle row (plain files are skipped — the raw text/csv
+    // fixtures never appear in CORRECTNESS_rN).
+    def writeSingleParquet(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+      val tmp = target + "_tmpdir"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      Files.move(part.toPath, Paths.get(target),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Bench.deleteRecursively(new java.io.File(tmp))
+    }
     // persist the deterministic synthetic clips table so DuckDB oracles
     // (q_multimodal_meta) can read the same input the queries consume
-    try SparkEntry.clipsInput(spark, sfDir).write.mode("overwrite")
-      .parquet(s"$absOut/clips_input")
+    try writeSingleParquet(SparkEntry.clipsInput(spark, sfDir), s"$absOut/clips_input.parquet")
     catch { case e: Throwable =>
       System.err.println(s"[verify] clips_input persist failed: ${e.getMessage}")
     }
@@ -33,12 +47,13 @@ object Verify {
       val sigs = graft.pipeline.Dedup
         .signatures(SparkEntry.clipsInput(spark, sfDir), cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sigs.select(org.apache.spark.sql.functions.col("clip_id"),
+      writeSingleParquet(sigs.select(
+          org.apache.spark.sql.functions.col("clip_id"),
           org.apache.spark.sql.functions.col("sh"),
-          org.apache.spark.sql.functions.col("afp"))
-        .write.mode("overwrite").parquet(s"$absOut/clips_sigs")
-      graft.pipeline.Dedup.bucketDump(sigs, cfg)
-        .write.mode("overwrite").parquet(s"$absOut/clips_buckets")
+          org.apache.spark.sql.functions.col("afp")),
+        s"$absOut/clips_sigs.parquet")
+      writeSingleParquet(graft.pipeline.Dedup.bucketDump(sigs, cfg),
+        s"$absOut/clips_buckets.parquet")
       sigs.unpersist(blocking = false): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[verify] sig/bucket dump failed: ${e.getMessage}")

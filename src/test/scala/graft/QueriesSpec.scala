@@ -129,6 +129,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.subsetOf(oracle) || oracle.isEmpty)
   }
 
+  test("simhash hamming pairs: combo-bucket join equals all-pairs enumeration") {
+    // pigeonhole exactness of the 2-of-6 block-combo candidate join:
+    // every pair within Hamming distance 4 shares >= 1 of the 15 keys,
+    // so the bucket-join path must equal brute-force xor enumeration
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = docs.select($"doc_id", simhash_md5_words($"text").as("sh"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ida, sa) <- fp; (idb, sb) <- fp if ida < idb
+      hd = java.lang.Long.bitCount(sa ^ sb) if hd <= 4
+    } yield (ida, idb, hd)).toSet
+    val got = q("q_simhash_hamming_pairs").as[(Long, Long, Int)].collect().toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("ann lsh recall vs brute force") {
     val brute = q("q_ann_bruteforce").select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
     val approx = q("q_ann_lsh").select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
