@@ -55,6 +55,13 @@ class PlansSpec extends AnyFunSuite {
       "query side not broadcast")
   }
 
+  test("simhash hamming pairs: keyed bucket join, never an all-pairs scan") {
+    val p = plan("q_simhash_hamming_pairs")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join found:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unkeyed join found:\n$p")
+    assert(p.contains("bucket#"), "join not keyed by the combo bucket")
+  }
+
   test("dedup signature stage is map-only (no exchange before signatures)") {
     val cfg = graft.pipeline.DedupConfig()
     val clips = graft.gen.ClipGen.generate(spark, 100, seed = 3L)._1.toDF()
