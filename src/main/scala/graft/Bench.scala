@@ -588,6 +588,73 @@ object SpanScalingBench {
   }
 }
 
+/** Embedding-path scale evidence: cosine near-dup pairs at two corpus
+  * sizes x two bucket geometries on planted-duplicate synthetic
+  * embeddings (ClipGen.generateEmbeddings: every id%4==1 is a noisy copy
+  * of id-1 at cosine ~0.97).
+  *
+  * The point under measurement: an UNRELATED pair collides in some table
+  * with p ~ tables*(planes+1)/2^planes under Hamming-1 probing, so junk
+  * candidates are (n^2/2)*p — FIXED planes at growing n is quadratic
+  * (at planes=4/tables=16, p = 0.998: essentially ALL pairs are
+  * candidates on an unstructured corpus). Keeping the candidate join
+  * linear-in-n needs p ~ c/n, i.e. planes ~ log2(n) + const; the cost is
+  * the LSH S-curve — deeper signatures keep near-1.0 recall for the
+  * high-cosine planted mass but shed pairs sitting just above tau (the
+  * same recall/cost dial as minhash b x r banding). Each SIZE runs at
+  * planes=4 (the sandbox default, tuned for the small structured sf
+  * corpus) and at the junk-suppressing depth log2(n)+4; ANN_LEG lines
+  * carry wall seconds, candidate rows, qualifying pairs, and planted
+  * recall so both the quadratic drift and the recall cost are visible.
+  * Run: sbt "runMain graft.AnnScalingBench [n1 n2 dim cpus]". */
+object AnnScalingBench {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n1 = args.lift(0).map(_.toInt).getOrElse(25000)
+    val n2 = args.lift(1).map(_.toInt).getOrElse(100000)
+    val dim = args.lift(2).map(_.toInt).getOrElse(32)
+    val cpus = args.lift(3).getOrElse("8")
+    val spark = Bench.makeSession(cpus)
+    import spark.implicits._
+    // warmup: JIT the bucket/probe/verify path unmeasured
+    graft.sim.Ann.cosineNearDupPairs(spark,
+      graft.gen.ClipGen.generateEmbeddings(spark, 2000, dim), tau = 0.8).count()
+    for (n <- Seq(n1, n2)) {
+      val emb = graft.gen.ClipGen.generateEmbeddings(spark, n, dim, numPartitions = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      emb.count()
+      // planted truth: (id-1, id) for id%4==1; recall denominator only
+      // counts planted pairs that actually qualify at tau (noise puts a
+      // tail slightly below it)
+      val planted = spark.range(0, n).where(pmod($"id", lit(4)) === 1)
+        .select(($"id" - 1).as("a"), $"id".as("b"))
+      // junk-collision p = tables*(planes+1)/2^planes ~ 16*planes/2^planes;
+      // log2(n)+4 puts it at ~c/n, making junk candidates ~linear in n
+      val deepPlanes = math.min(24, (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4)
+      for (planes <- Seq(4, deepPlanes).distinct) {
+        val cands = graft.sim.Ann.cosineNearDupCandidates(emb, planes, tables = 16).count()
+        val t0 = System.nanoTime()
+        val pairs = graft.sim.Ann.cosineNearDupPairs(spark, emb, tau = 0.8,
+            planes = planes, tables = 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val nPairs = pairs.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val va = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
+        val vb = emb.select($"vec_id".as("b"), $"embedding".as("eb"))
+        val qualifying = planted.join(va, "a").join(vb, "b")
+          .where(round(graft.functions.cosine_sim($"ea", $"eb"), 6) >= 0.8)
+          .select($"a", $"b")
+        val nQual = qualifying.count()
+        val hit = qualifying.join(pairs.select($"a", $"b"), Seq("a", "b"), "left_semi").count()
+        pairs.unpersist(blocking = false)
+        println(s"""ANN_LEG {"n":$n,"dim":$dim,"planes":$planes,"tables":16,"wall_sec":${f"$sec%.2f"},"candidates":$cands,"pairs":$nPairs,"planted_qualifying":$nQual,"planted_recall":${f"${if (nQual == 0) 1.0 else hit.toDouble / nQual}%.4f"}}""")
+      }
+      emb.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}
+
 /** Child-JVM entrypoint for one scaling measurement (see ScalingBench).
   * Prints the headline SCALING_ONE line plus one SCALING_STAGE line per
   * pipeline stage; the parent parses both from captured stdout. */

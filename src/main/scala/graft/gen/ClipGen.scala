@@ -197,6 +197,32 @@ object ClipGen {
       .toDF("clip_id", "transcript")
   }
 
+  /** Distributed synthetic embedding corpus (vec_id, embedding float[dim])
+    * with planted near-duplicates: every vec_id with id % 4 == 1 is a
+    * noisy copy of id-1 (cosine >= ~0.97 by construction — noise amplitude
+    * 0.12 of a unit-scale uniform vector), everything else is an
+    * independent uniform[-1,1] vector (pairwise cosine ~ N(0, 1/sqrt(dim))).
+    * Deterministic per (seed, id, dim); the input for embedding-path scale
+    * benches (AnnScalingBench). */
+  def generateEmbeddings(spark: SparkSession, n: Int, dim: Int, seed: Long = 42L,
+      numPartitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).map { idBoxed =>
+      val id: Long = idBoxed
+      def u(s: Long, j: Int): Float = {
+        val h = graft.sketch.Murmur3x64.mix64(s ^ (j.toLong * 0x9E3779B97F4A7C15L))
+        ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }
+      val base: Long = if (id % 4 == 1) id - 1 else id
+      val v = Array.tabulate(dim)(j => u(seed ^ (base * 0x100000001B3L), j))
+      if (id % 4 == 1) {
+        var j = 0
+        while (j < dim) { v(j) += 0.12f * u(seed ^ ~id, j); j += 1 }
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Distributed generation of ~nClips rows (complete groups). Returns the
     * clips dataset and the planted truth (clip_id, group_id) — group ids
     * with >1 member are true duplicate clusters by construction. */

@@ -61,21 +61,33 @@ object Ann {
     * the other, never a cross join. */
   def cosineNearDupPairs(spark: SparkSession, emb: DataFrame, tau: Double,
       planes: Int = 4, tables: Int = 16): DataFrame = {
-    val bucketed = bucketsOf(emb, planes, tables)
-    val probes = probesUdf(planes)
-    val left = bucketed.select(col("t"), explode(probes(col("bucket"))).as("bucket"),
-      col("vec_id").as("a"))
-    val candIds = bucketed.select(col("t"), col("bucket"), col("vec_id").as("b"))
-      .join(left, Seq("t", "bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
+    val candIds = cosineNearDupCandidates(emb, planes, tables)
     val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
     candIds.join(va, "a").join(vb, "b")
       .withColumn("cos", round(graft.functions.cosine_sim(col("ea"), col("eb")), 6))
       .where(col("cos") >= tau)
       .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** The candidate-id stage of cosineNearDupPairs, exposed for scale
+    * diagnostics (AnnScalingBench): deduped (a, b) pairs that collide in
+    * some table under Hamming-1 probing. Candidate volume is the scale
+    * knob: 2^planes buckets per table means per-bucket occupancy n /
+    * 2^planes, so FIXED planes at growing n turns near-orthogonal junk
+    * quadratic — planes must grow ~log2(n) (constant occupancy) for the
+    * linear-cost contract, trading per-table recall that the table count
+    * and probes buy back. */
+  def cosineNearDupCandidates(emb: DataFrame, planes: Int, tables: Int): DataFrame = {
+    val bucketed = bucketsOf(emb, planes, tables)
+    val probes = probesUdf(planes)
+    val left = bucketed.select(col("t"), explode(probes(col("bucket"))).as("bucket"),
+      col("vec_id").as("a"))
+    bucketed.select(col("t"), col("bucket"), col("vec_id").as("b"))
+      .join(left, Seq("t", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
   }
 
   /** IVF (inverted-file) ANN: the second scale path beside hyperplane
