@@ -407,7 +407,7 @@ object ScalingBench {
       // keeps the big leg inside the regime where those shared
       // resources are not the constraint: local[2] vs local[8].
       val (cpusLo, cpusHi) = (scalingCpusLo, scalingCpusHi)
-      var best: Option[(Double, ScalingResult)] = None // (combinedSec, result)
+      var all = List.empty[(Double, ScalingResult)] // (combinedSec, result)
       (1 to reps).foreach { i =>
         if (i == 1 || elapsedS < budgetS) {
           try {
@@ -421,22 +421,40 @@ object ScalingBench {
             System.err.println(f"[scaling] pair $i: ${thrLo}%.1f -> ${thrHi}%.1f clips/s, " +
               f"eff ${(thrHi / thrLo) / 4.0}%.3f, combined ${combined}%.0f s, " +
               f"probes $p0%.0f/$p1%.0f/$p2%.0f Mops (t+${elapsedS}s)")
-            if (best.forall(_._1 > combined))
-              best = Some((combined,
-                ScalingResult((thrHi / thrLo) / 4.0, thrLo, thrHi, stLo, stHi,
-                  Seq(p0, p1, p2), i, reps)))
+            all ::= (combined,
+              ScalingResult((thrHi / thrLo) / 4.0, thrLo, thrHi, stLo, stHi,
+                Seq(p0, p1, p2), i, reps))
           } catch {
             case e: Throwable =>
               System.err.println(s"[scaling] pair $i FAILED: ${e.getMessage}")
           }
         } else System.err.println(s"[scaling] pair $i skipped: budget ${budgetS}s spent")
       }
-      best.getOrElse(sys.error(s"all $reps scaling rep pairs failed"))._2
+      require(all.nonEmpty, s"all $reps scaling rep pairs failed")
+      selectPair(all)
     } finally Bench.deleteRecursively(new java.io.File(genDir))
   }
 
   val scalingCpusLo: Int = sys.env.getOrElse("SPARK_GRAFT_SCALING_CPUS_LO", "2").toInt
   val scalingCpusHi: Int = sys.env.getOrElse("SPARK_GRAFT_SCALING_CPUS_HI", "8").toInt
+
+  /** Pair selection, blind to the efficiency ratio itself: first EXCLUDE
+    * pairs bracketed by a collapsed probe (min probe < half the best
+    * probe seen anywhere in the run) — the probes measure HOST speed
+    * only, and a collapse window that opens mid-leg can make that pair's
+    * combined wall the smallest while poisoning one leg (observed
+    * 2026-08-19: probes 640/656/61, the 8-core leg measured inside the
+    * collapse, won the unfiltered selection with an apparent 0.631).
+    * Among untainted pairs, smallest combined wall wins; if every pair
+    * is tainted, fall back to combined wall over all of them. */
+  def selectPair(all: List[(Double, ScalingResult)]): ScalingResult = {
+    val bestProbe = all.flatMap(_._2.probesMops).max
+    val healthy = all.filter(_._2.probesMops.min >= 0.5 * bestProbe)
+    val pool = if (healthy.nonEmpty) healthy else all
+    if (healthy.size < all.size)
+      System.err.println(s"[scaling] ${all.size - healthy.size} pair(s) excluded by collapsed probes")
+    pool.minBy(_._1)._2
+  }
 
   /** ~2 s single-thread spin, returns M ops/s — a host-speed probe run
     * around each leg. This sandbox's effective CPU speed collapses up to

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scaling-pair selection rule (ScalingBench.selectPair): probe-gated,
+  * then best combined wall — pinned against the observed 2026-08-19
+  * failure where a mid-leg host collapse handed the smallest combined
+  * wall to a poisoned pair. */
+class ScalingSelectSpec extends AnyFunSuite {
+  private def pair(eff: Double, combined: Double, probes: Seq[Double], idx: Int) =
+    (combined, ScalingBench.ScalingResult(eff, 500.0, 500.0 * 4 * eff,
+      Nil, Nil, probes, idx, 3))
+
+  test("a collapse-tainted pair is excluded even with the best combined wall") {
+    // the real 2026-08-19 run: pair 3 won combined wall but closed on a
+    // 61 Mops probe (best probe of the run 724) — must be excluded
+    val all = List(
+      pair(0.899, 1453, Seq(724, 545, 645), 1),
+      pair(0.861, 1556, Seq(647, 539, 645), 2),
+      pair(0.631, 1362, Seq(640, 656, 61), 3))
+    assert(ScalingBench.selectPair(all).pairIdx == 1)
+  }
+
+  test("all pairs healthy: smallest combined wall wins") {
+    val all = List(
+      pair(0.85, 1500, Seq(700, 700, 700), 1),
+      pair(0.90, 1400, Seq(650, 690, 710), 2))
+    assert(ScalingBench.selectPair(all).pairIdx == 2)
+  }
+
+  test("all pairs tainted: falls back to combined wall instead of failing") {
+    val all = List(
+      pair(0.5, 2000, Seq(700, 100, 700), 1),
+      pair(0.6, 1800, Seq(650, 90, 710), 2))
+    assert(ScalingBench.selectPair(all).pairIdx == 2)
+  }
+}
