@@ -265,14 +265,18 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
-    "q_simhash_docs" -> ((s, dir) => {
-      // per-doc order-sensitive fingerprints: SimHash (word bigrams) and
-      // the rolling Rabin-Karp content fingerprint — neither is
-      // SQL-expressible (Murmur3/seed-9001 inside), so this stays a
-      // rows-only check; SketchSpec pins the values
+    "q_rolling_fp" -> ((s, dir) => {
+      // the PRODUCTION rolling Rabin-Karp content fingerprint (base 257
+      // mod 2^61-1 over UTF-8 bytes) under the driver gate: the polynomial
+      // is pure integer arithmetic, so DuckDB replays it bit-exactly with
+      // a HUGEINT power table + per-byte sum (the gate corpora are pure
+      // ASCII, where ord(char) == the UTF-8 byte; the non-ASCII byte path
+      // is pinned by SketchSpec). The production murmur-seeded simhash
+      // that used to share this query is gated by q_simhash_md5 (bit-vote
+      // combiner, bit-exact) + q_simhash_hamming_pairs (bucket join) and
+      // pinned by SketchSpec — this replaces round 4's one no_oracle row.
       tbl(s, dir, "documents")
-        .select(col("doc_id"), simhash_text(col("text")).as("simhash"),
-          rolling_fp(col("text")).as("content_fp"))
+        .select(col("doc_id"), rolling_fp(col("text")).as("content_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -376,8 +380,13 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-cosine near-duplicate pairs (training-data dedup):
       // LSH-bucketed candidates with Hamming-1 probes (miss p ~ 2e-6 at
-      // tau = 0.45), exact-cosine verified — never an all-pairs scan
-      graft.sim.Ann.cosineNearDupPairs(s, tbl(s, dir, "embeddings"), tau = 0.45)
+      // tau = 0.45), exact-cosine verified — never an all-pairs scan.
+      // planes pinned to 4: the DuckDB oracle enumerates ALL qualifying
+      // pairs, and at the gate's corpus size the shallow signature's
+      // near-exhaustive recall is exactly the regime under test (the
+      // production default auto-depths to log2(n)+4 — Ann.autoPlanes)
+      graft.sim.Ann.cosineNearDupPairs(s, tbl(s, dir, "embeddings"), tau = 0.45,
+          planes = 4)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -688,6 +697,33 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, length(text) AS n
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Rolling-fingerprint replay: h = sum_i byte_i * 257^(n-i) mod 2^61-1,
+    // computed as ONE recursive power chain to max doc length (not a
+    // per-doc per-char recursion) + a per-byte join/sum. Every
+    // intermediate fits HUGEINT: byte*power < 2^69, the sum over a
+    // 577-char doc < 2^80. ord(substr) == UTF-8 byte because the gate
+    // corpora are pure ASCII (asserted: octet_length(encode(text)) ==
+    // length(text) across all sf).
+    "q_rolling_fp" ->
+      """WITH RECURSIVE pw AS (
+        |  SELECT 0 AS k, CAST(1 AS HUGEINT) AS v
+        |  UNION ALL
+        |  SELECT k+1, (v*257) % CAST(2305843009213693951 AS HUGEINT) FROM pw
+        |  WHERE k < (SELECT coalesce(max(length(text)), 0) FROM documents)
+        |), b AS (
+        |  SELECT doc_id, u.i AS i, ord(substr(text, CAST(u.i AS INT), 1)) AS byt,
+        |    length(text) AS n
+        |  FROM documents, unnest(range(1, length(text)+1)) u(i)
+        |), fp AS (
+        |  SELECT b.doc_id,
+        |    CAST(SUM(CAST(b.byt AS HUGEINT) * pw.v) % 2305843009213693951 AS BIGINT) AS content_fp
+        |  FROM b JOIN pw ON pw.k = b.n - b.i
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(fp.content_fp, 0) AS content_fp
+        |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // SimHash replay: same bit-vote as SimHasher.simhash, md5-derived token
     // hashes (first 8 md5 bytes, big-endian). bit_or over HUGEINT (not SUM,

@@ -184,9 +184,13 @@ object ConnectedComponents {
         val schema = StructType(Seq(
           StructField("node", dt, nullable = false),
           StructField("component", dt, nullable = false)))
+        // ~50k struct rows (~1 MB serialized) per task: parallelize ships
+        // each partition inside the task closure, and the earlier 500k
+        // chunking drew "task of very large size" warnings at the 2M-edge
+        // threshold (11.8 MiB tasks in the 600k-clip bench)
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toIndexedSeq,
-            math.max(1, rows.length / 500000)),
+            math.max(1, rows.length / 50000)),
           schema)
     }
   }

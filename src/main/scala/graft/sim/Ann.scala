@@ -48,6 +48,19 @@ object Ann {
     m
   }
 
+  /** Signature depth that keeps the candidate join linear in corpus size:
+    * an unrelated pair collides in some table with p ~ tables*(planes+1)
+    * / 2^planes under Hamming-1 probing, so junk candidates are
+    * (n^2/2)*p — holding p ~ c/n (linear junk) needs planes ~ log2(n) +
+    * const. Measured (AnnScalingBench): planes=4 at 20k unstructured
+    * rows is 198M candidates / 140 s (quadratic drift), log2(n)+4 is
+    * linear at recall 1.0 on the planted mass. Capped at 24 (16M buckets
+    * per table is past any sandbox corpus; at real scale the S-curve,
+    * not the cap, is the binding recall constraint). */
+  def autoPlanes(n: Long): Int =
+    math.min(24, math.max(4,
+      (math.log(math.max(1L, n).toDouble) / math.log(2)).ceil.toInt + 4))
+
   /** Embedding-cosine near-duplicate PAIRS (the training-data dedup
     * family): every pair with exact cosine >= tau, found via the same
     * random-hyperplane buckets instead of an all-pairs scan. One side of
@@ -58,10 +71,18 @@ object Ann {
     * output exact in practice (and oracle-checkable); verification is
     * exact cosine on the candidates only. Corpus cost is linear: one
     * bucket per (row, table) on the build side, (planes+1) probe rows on
-    * the other, never a cross join. */
+    * the other, never a cross join.
+    *
+    * `planes <= 0` (the DEFAULT) derives the depth from the corpus count
+    * via [[autoPlanes]] — fixed depth at growing n is measured-quadratic
+    * in junk candidates, so the scale-safe geometry must be what a
+    * caller gets without reading the paper. Pass an explicit positive
+    * `planes` to pin a regime (the sandbox oracle queries pin 4, where
+    * the shallow signature's near-exhaustive recall is the point). */
   def cosineNearDupPairs(spark: SparkSession, emb: DataFrame, tau: Double,
-      planes: Int = 4, tables: Int = 16): DataFrame = {
-    val candIds = cosineNearDupCandidates(emb, planes, tables)
+      planes: Int = 0, tables: Int = 16): DataFrame = {
+    val depth = if (planes > 0) planes else autoPlanes(emb.count())
+    val candIds = cosineNearDupCandidates(emb, depth, tables)
     val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
     candIds.join(va, "a").join(vb, "b")

@@ -26,6 +26,23 @@ class ScalingSelectSpec extends AnyFunSuite {
       sel.allPairsJson.contains(""""eff":0.899"""))
   }
 
+  test("a probe-INHOMOGENEOUS pair is excluded even with no collapsed probe") {
+    // the committed round-4 0.55: probes 513/858/1020 — min 513 >= 0.5*1020
+    // passes the collapse gate, but the host ran ~2x slower during the lo
+    // leg than the hi leg, poisoning the ratio. The within-pair
+    // homogeneity gate (max/min > 1.4) must exclude it; the healthy
+    // 724/545/645 pair (ratio 1.33) must survive and win despite a larger
+    // combined wall.
+    val all = List(
+      pair(0.550, 1300, Seq(513, 858, 1020), 1),
+      pair(0.899, 1453, Seq(724, 545, 645), 2))
+    val sel = ScalingBench.selectPair(all)
+    assert(sel.pairIdx == 2)
+    assert(sel.allPairsJson.contains(""""pair":1""") &&
+      sel.allPairsJson.contains(""""excluded_by_probe_gate":true,"selected":false""") &&
+      sel.allPairsJson.contains(""""excluded_by_probe_gate":false,"selected":true"""))
+  }
+
   test("all pairs healthy: smallest combined wall wins") {
     val all = List(
       pair(0.85, 1500, Seq(700, 700, 700), 1),
