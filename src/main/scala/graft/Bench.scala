@@ -659,6 +659,62 @@ object SpanScalingBench {
   }
 }
 
+/** Per-source candidate-volume scale evidence (completes the per-source
+  * set beside SpanScalingBench and AnnScalingBench): the pipeline's
+  * candidate + verify stages at two corpus sizes, reporting candidate
+  * pairs, verified pairs and junk rate PER EVIDENCE SOURCE (minhash
+  * bands, simhash combo buckets, audio bands, winnow substring buckets).
+  * The linear-cost contract under test: a k-times larger corpus with the
+  * same duplicate fraction must produce ~k-times the candidates per
+  * source — superlinear growth in any source means its junk-collision
+  * probability is not falling as 1/n and that source would swamp verify
+  * at the 10^12-clip target (the failure the simhash 2-of-6 combo keys
+  * and the containment-bucket default-off already fixed, measured in
+  * their Scaladoc). Run: sbt "runMain graft.LshScalingBench [n1 n2 cpus]". */
+object LshScalingBench {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Dedup, DedupConfig}
+    val n1 = args.lift(0).map(_.toInt).getOrElse(150000)
+    val n2 = args.lift(1).map(_.toInt).getOrElse(600000)
+    val cpus = args.lift(2).getOrElse("16")
+    val spark = Bench.makeSession(cpus)
+    val cfg = DedupConfig()
+    // warmup: JIT the signature/bucket/pair/verify path unmeasured
+    Dedup.run(spark, graft.gen.ClipGen.generate(spark, 2000, seed = 7L,
+      numPartitions = 16)._1.toDF(), cfg).count()
+    for (n <- Seq(n1, n2)) {
+      val clips = graft.gen.ClipGen.generate(spark, n, seed = 42L, numPartitions = 64)._1.toDF()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      clips.count()
+      val t0 = System.nanoTime()
+      val sigs = Dedup.materialize(Dedup.signatures(clips, cfg))
+      val cands = Dedup.candidates(sigs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val nCand = cands.count()
+      val candSec = (System.nanoTime() - t0) / 1e9
+      val edges = Dedup.verify(sigs, cands, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val nVer = edges.count()
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      def bySource(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        df.select(explode(col("sources")).as("s")).groupBy("s").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cBy = bySource(cands)
+      val vBy = bySource(edges)
+      val srcJson = Dedup.SourceNames.filter(cBy.contains).map { s =>
+        val c = cBy(s); val v = vBy.getOrElse(s, 0L)
+        s""""$s":{"candidates":$c,"verified":$v,"junk_rate":${Bench.num(if (c == 0) 0.0 else (c - v).toDouble / c, 4)}}"""
+      }.mkString("{", ",", "}")
+      println(s"""LSH_LEG {"clips":$n,"cand_wall_sec":${Bench.num(candSec, 2)},"verify_wall_sec":${Bench.num(totalSec - candSec, 2)},"candidates":$nCand,"verified":$nVer,"by_source":$srcJson}""")
+      cands.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      clips.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}
+
 /** Embedding-path scale evidence: cosine near-dup pairs at two corpus
   * sizes x two bucket geometries on planted-duplicate synthetic
   * embeddings (ClipGen.generateEmbeddings: every id%4==1 is a noisy copy
