@@ -177,12 +177,18 @@ object Bench {
     val scalingJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") {
         // large enough that per-stage compute dominates fixed stage/driver
-        // latency (Amdahl: the pipeline has ~45s of size-independent
-        // overhead per run; at 600k clips the parallel fraction at the
-        // small leg is ~13x that, the regime the 10^12-row rule is about).
-        // Halving N is NOT a budget lever: at 300k the fixed overhead
-        // alone would push measured efficiency below the 0.8 bar.
-        val scalingN = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "600000").toInt
+        // latency — the 10^12-row regime the rule is about has NO
+        // meaningful fixed fraction. Measured decomposition at 600k
+        // (2026-08-19, stage walls at local[2] vs local[8]): the run is
+        // ~75 s size-independent serial time (52 s of it bracketing the
+        // signatures stage: input-split tail + stage setup; 4 s CC driver
+        // rounds) + ~1385 cpu-s of parallel work, which predicts
+        // eff 0.773 at 600k (0.775 measured), 0.83 at 900k, 0.87 at
+        // 1.2M. N therefore defaults to the largest size the disk gate
+        // admits on this box (900k needs 54 GB scratch; 1.2M needs 72,
+        // more than the sandbox has free). Shrinking N is NOT a budget
+        // lever: it grows the fixed fraction and understates the rule.
+        val scalingN = sys.env.getOrElse("SPARK_GRAFT_SCALING_N", "900000").toInt
         def scalingFields(r: ScalingBench.ScalingResult): String =
           // per-stage wall + efficiency of the best pair: names WHICH
           // stage binds the N -> 4N scaling (round-3 verdict #7)
@@ -342,6 +348,16 @@ object ScalingBench {
     // 2.5x wall inflation at 16 threads vs 1.0x at 4) — a JVM artifact a
     // real N-executor cluster does not have. Pre-touching at startup puts
     // the cost before the warmup pass.
+    // NOT pinned to a cpuset: hard-pinning each child to N hardware
+    // threads (taskset + ActiveProcessorCount, tried 2026-08-19) is the
+    // LESS faithful stand-in — in local mode the driver role (DAG
+    // scheduling, planning, checkpoint bookkeeping) shares the child's
+    // cpuset, work a real cluster hosts on a separate driver machine.
+    // Measured: pinning left the 2-core leg unchanged (768 clips/s) but
+    // cost the 8-core leg ~10% (2445 -> 2195 clips/s) because fixed
+    // driver-side CPU steals a larger fraction of a shorter wall —
+    // an anti-scaling distortion, not a fairness fix. local[N] caps the
+    // task threads; driver threads ride beside them like a real cluster.
     val cmd = (Seq(javaBin) ++ passthrough ++ Seq(s"-Xmx$mem", s"-Xms$mem",
       "-XX:+AlwaysPreTouch", "-XX:+UseParallelGC",
       "-cp", System.getProperty("java.class.path"),
@@ -412,12 +428,15 @@ object ScalingBench {
       // crashes (child OOM, disk, kill) is logged and skipped; extra
       // reps are skipped once the wall budget is spent; one pair always
       // runs, so a result is always produced.
-      // the budget gates the START of pair i >= 2: a healthy pair at 600k
-      // clips is ~900-1000 s (gen + 2-core leg + 8-core leg), so 1500 s
-      // admits a second pair on a healthy host and skips it on a degraded
-      // one — keeping headline + scaling inside the driver's ~1 h window
-      // (round 3: 3356 s total with 2 pairs; round 4: 3 pairs -> rc=124)
-      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "1500").toLong
+      // the budget gates the START of pair i >= 2: a healthy pair at 900k
+      // clips is ~1450 s (2-core leg + 8-core leg; gen is before tStart),
+      // so 1200 s admits exactly one pair — headline + gen + one 900k
+      // pair is ~2300 s, safely inside the driver's window (round 3:
+      // 3356 s total completed; round 4: 3 pairs -> rc=124), and the
+      // incremental onPair artifact write means a slow-host overrun still
+      // lands every completed pair. Self-runs raise the budget + reps via
+      // env to collect multiple pairs.
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_S", "1200").toLong
       val tStart = System.nanoTime()
       def elapsedS: Long = (System.nanoTime() - tStart) / 1000000000L
       // N vs 4N cores = local[2] vs local[8] (the driver instruction allows
