@@ -126,6 +126,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     cleanStaleScratch()
+    // SPARK_GRAFT_HEADLINE=0: scaling-only iteration — reuse the headline
+    // timings already persisted in BENCH_partial.json so multi-pair
+    // scaling hunts (the host's multi-core speed drifts on a tens-of-
+    // minutes timescale) don't pay the ~15-min headline per attempt
+    val baseJson = if (sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") == "0") {
+      val prev = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_partial.json")).trim
+      require(prev.startsWith("""{"metric":"total","""), s"unexpected BENCH_partial.json: ${prev.take(60)}")
+      prev.stripPrefix("""{"metric":"total",""").stripSuffix("}")
+    } else measureHeadline(sfDir, cpus)
+    def writeJson(path: String, body: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] $path write: $e") }
+    writeJson("BENCH_partial.json", s"""{"metric":"total",$baseJson}""")
+    // BENCH_final.json starts life as the headline-only artifact and is
+    // RE-WRITTEN after every completed scaling pair: round 4's driver run
+    // was rc=124 (killed mid-scaling) and lost every timing it had already
+    // measured — a timeout must now cost at most the in-flight pair
+    writeJson("BENCH_final.json", s"""{"metric":"total",$baseJson}""")
+    runScalingLeg(baseJson, writeJson)
+  }
+
+  /** Measured headline pass: every query at sfDir on a warmed local[cpus]
+    * session; returns the baseJson fragment (timings + throughput). */
+  private def measureHeadline(sfDir: String, cpus: String): String = {
     val spark = makeSession(cpus)
     // unmeasured warmup: parquet reader, codegen, kryo, and every
     // headline plan shape JIT/compile at sf0.001 instead of inside the
@@ -161,16 +186,10 @@ object Bench {
     // persist the measured query timings BEFORE the scaling leg: round 2
     // lost its entire bench artifact (17 minutes of timings) because the
     // headline JSON was only printed after a scaling child crashed
-    val baseJson = s""""value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_clips_per_sec":${num(clipsPerSec, 1)}"""
-    def writeJson(path: String, body: String): Unit =
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body + "\n")
-      catch { case e: Throwable => System.err.println(s"[bench] $path write: $e") }
-    writeJson("BENCH_partial.json", s"""{"metric":"total",$baseJson}""")
-    // BENCH_final.json starts life as the headline-only artifact and is
-    // RE-WRITTEN after every completed scaling pair: round 4's driver run
-    // was rc=124 (killed mid-scaling) and lost every timing it had already
-    // measured — a timeout must now cost at most the in-flight pair
-    writeJson("BENCH_final.json", s"""{"metric":"total",$baseJson}""")
+    s""""value":${num(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pipeline_clips_per_sec":${num(clipsPerSec, 1)}"""
+  }
+
+  private def runScalingLeg(baseJson: String, writeJson: (String, String) => Unit): Unit = {
     // scaling efficiency (north rule): same job, same input, N vs 4N cores.
     // NEVER fatal — a failed or skipped scaling leg becomes a
     // "scaling_error" field, and the query timings above always survive.
