@@ -98,7 +98,16 @@ object SparkEntry {
       // HH sketch reused as a skew statistic: top-20 doc-frequency char
       // 5-grams (SURVEY §4: hot-shingle detection feeds bucket splitting).
       // Built-in substring/sequence keeps shingling inside codegen.
+      // The input is a single small parquet file (one scan split), so the
+      // shingle explode + per-partition MG partial aggregation — the
+      // ENTIRE cost of the query — would run in one task; the explicit
+      // round-robin repartition fans the compute out to the configured
+      // shuffle width (it is a user-specified count, so AQE cannot
+      // coalesce it back down; guide §2.5 input skew). The MG sketch is
+      // in its exact regime here (distinct 5-grams << 2^18 capacity), so
+      // partial-sketch partitioning cannot change the merged result.
       val sh2 = tbl(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), expr("explode(array_distinct(transform(sequence(1, greatest(length(text)-4,1)), i -> substring(text, i, 5))))").as("sh"))
       sh2.agg(freq_items_lg(col("sh"), 20, 18).as("hh"))
         .select(explode(col("hh")).as("r"))
@@ -257,9 +266,13 @@ object SparkEntry {
       // flags — winnow-fingerprint buckets for recall, per-pair
       // generalized suffix array for exact verification (Dedup
       // .sharedSpanPairs). Ids zero-padded so pair order is numeric.
+      // flags-only span operator: this query drops span_len, so the
+      // per-pair generalized-SA build is replaced by the exact O(n+m)
+      // shared-47-gram gate + contains() flags (Dedup.sharedSpanFlagPairs
+      // — identical rows, SA reserved for span-length consumers)
       val docs = tbl(s, dir, "documents").select(
         lpad(col("doc_id").cast("string"), 12, "0").as("id"), col("text"))
-      Dedup.sharedSpanPairs(docs, "id", "text", DedupConfig(), minSpan = 47)
+      Dedup.sharedSpanFlagPairs(docs, "id", "text", DedupConfig(), minSpan = 47)
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           col("a_in_b"), col("b_in_a"))
         .orderBy(col("a"), col("b"))
@@ -422,7 +435,10 @@ object SparkEntry {
       // with a recursive CTE. (Scope: ASCII transcripts — ClipGen emits
       // [a-z ] only, so char grams and byte grams coincide.)
       val clips = clipsInput(s, dir).select(col("clip_id"), col("transcript"))
-      val pairs = Dedup.sharedSpanPairs(clips, "clip_id", "transcript",
+      // flags-only span operator (only the pair ids feed CC): skips the
+      // per-pair SA build — the dominant per-pair cost here, where most
+      // candidates genuinely qualify (planted duplicates + hot sentence)
+      val pairs = Dedup.sharedSpanFlagPairs(clips, "clip_id", "transcript",
         DedupConfig(), minSpan = 47).select(col("a"), col("b"))
       val cc = graft.pipeline.ConnectedComponents.runOnStrings(s, pairs, "a", "b")
       clips.select(col("clip_id"))
@@ -514,9 +530,21 @@ object SparkEntry {
     val vocab = words.select(col("w")).distinct()
       .repartition(col("w")).sortWithinPartitions(col("w"))
       .rdd.map(_.getString(0)).zipWithIndex().toDF("w", "wid")
+    // persisted: both payload joins below consume `sets`, and without the
+    // barrier each join re-runs the whole explode + vocab + collect_set
+    // subtree (the r6 baseline plan materialized it twice, including two
+    // zipWithIndex jobs). One doc-count-sized frame, computed once.
     val sets = words.join(vocab, "w")
       .groupBy(col("doc_id")).agg(sort_array(collect_set(col("wid"))).as("ws"))
-    val withA = cand.join(sets.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explicit round-robin repartition: the candidate frame is byte-tiny
+    // (two longs per row) but each row costs a merge walk + two array
+    // binds downstream, and AQE's bytes-based coalescing was running the
+    // whole verification on a handful of tasks (same reasoning as the
+    // pinned repartition in Dedup.sharedSpanPairs).
+    val shufN = sp.sessionState.conf.numShufflePartitions
+    val candP = cand.repartition(shufN)
+    val withA = candP.join(sets.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
     val withB = withA.join(sets.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
     // ws is a sort_array output — the codegen merge walk replaces
     // array_intersect's per-row hash set
@@ -535,7 +563,14 @@ object SparkEntry {
     val ranked = words.join(dfreq, "w")
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("w"))))
       .withColumn("n", count(lit(1)).over(byDoc))
+    // Persisted: the prefix frame is BOTH sides of the self-join below,
+    // and without a barrier the scan + dfreq + two-window subtree runs
+    // twice (the r6 baseline plan had two full copies). It is small (one
+    // row per (doc, prefix token)) while everything upstream of it is the
+    // expensive part.
     val prefix = ranked.where(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("w"), col("doc_id"), col("rk"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Two further EXACT cuts before the candidate pairs bind any payload
     // (verification attaches full word arrays — every row dropped here is
     // two array binds and a merge walk saved):
@@ -548,7 +583,25 @@ object SparkEntry {
     //    prefixes and passes the bound for a qualifying pair, so keeping
     //    pairs where ANY joined occurrence passes loses nothing.
     val alpha = ceil(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
+    // The probe side is round-robin repartitioned to the configured
+    // shuffle width before the self-join: the prefix frame is byte-tiny,
+    // so AQE coalesced the join input to ~1 partition — but the join
+    // OUTPUT fans out to every co-occurring prefix pair (the dominant
+    // cost of the whole query: 8.4 of 11.5 s at sf0.1 in the r6 baseline
+    // ran in that single task). A user-specified repartition count is
+    // never AQE-coalesced, so the fan-out and the partial distinct run at
+    // full width (guide §2.5: compute-heavy stage vs bytes-based
+    // coalescing).
+    // Hash-partitioned on the OUTPUT pair's `a`, not round-robin: a pair
+    // sharing k prefix tokens is generated k times (once per token), and
+    // under `a`-partitioning every duplicate of a pair is generated in
+    // the SAME task, so the partial aggregate of the distinct() below
+    // dedups them map-side and only ~distinct pairs cross the exchange
+    // (round-robin left the ~11x duplication to the shuffle; guide §2.3
+    // aggregate-before-you-shuffle).
+    val shufN = words.sparkSession.sessionState.conf.numShufflePartitions
     prefix.select(col("w"), col("doc_id").as("a"), col("rk").as("rka"), col("n").as("na"))
+      .repartition(shufN, col("a"))
       .join(prefix.select(col("w"), col("doc_id").as("b"), col("rk").as("rkb"), col("n").as("nb")), "w")
       .where(col("a") < col("b"))
       .where(least(col("na"), col("nb")) >= ceil(lit(tau) * greatest(col("na"), col("nb"))))
@@ -569,7 +622,13 @@ object SparkEntry {
     * (1-0.83^5)^25 = 4e-6 (1e-13 at the sf0.01 gate, where min
     * qualifying J = 0.93). */
   private def lshVerifiedDocPairs(s: SparkSession, dir: String): DataFrame = {
+    // round-robin repartition off the single-file scan: the 128-perm
+    // minhash and the shingle explode below are the per-row hot loops of
+    // this query, and a one-split parquet file would run them in ONE task
+    // (measured 0.5 s single-task for the signatures alone at sf0.1);
+    // the explicit width is never AQE-coalesced (guide §2.5 input skew)
     val docs = tbl(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id").cast("string").as("clip_id"), col("text").as("transcript"))
     val cfg = DedupConfig(tau = 0.5, bands = 25, rowsPerBand = 5)
     val sigs = docs.select(col("clip_id"),
@@ -579,9 +638,11 @@ object SparkEntry {
     // computed ONCE PER DOC (sorted at source), intersection via the
     // codegen merge walk — never a per-pair re-shingling UDF (measured
     // 2.7 ms/pair; this form is ~150x cheaper and is what Dedup.verify
-    // uses at scale)
+    // uses at scale). Persisted: BOTH payload joins consume it, and
+    // without the barrier each join re-runs the shingle explode.
     val sh = docs.select(col("clip_id"),
       shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withA = cands.join(sh.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
     val withB = withA.join(sh.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
     val inter = sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")

@@ -371,6 +371,60 @@ object Dedup {
   def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig = DedupConfig(), minSpan: Int = 47,
       hotBucketLimit: Int = Int.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
+    spanCandidatePayloads(docs, idCol, textCol, cfg, minSpan, hotBucketLimit)
+      .flatMap { case (idA, idB, textA, textB) =>
+        // EXACT O(n+m) decision gate before the SA: winnow buckets
+        // overgenerate (a shared fingerprint is not a shared 47-char
+        // span), and at sf0.1 only 256 of 162k candidates qualify — the
+        // expensive generalized-SA build (the exact span LENGTH) now runs
+        // on survivors only; the gate itself is exact in both directions
+        // (SuffixArray.sharedSpanAtLeast).
+        if (!graft.text.SuffixArray.sharedSpanAtLeast(textA, textB, minSpan)) None
+        else {
+          val span = graft.text.SuffixArray.longestSharedSpan(textA, textB)
+          val (a, b, ta, tb) =
+            if (idA > idB) (idB, idA, textB, textA) else (idA, idB, textA, textB)
+          Some((a, b, span,
+            span == ta.codePointCount(0, ta.length),
+            span == tb.codePointCount(0, tb.length)))
+        }
+      }
+      .toDF("a", "b", "span_len", "a_in_b", "b_in_a")
+  }
+
+  /** Flags-only form of [[sharedSpanPairs]]: (a, b, a_in_b, b_in_a),
+    * identical rows minus the span_len column. The >= minSpan predicate
+    * is decided by the exact rolling-gram gate, and the containment flags
+    * need no span length either: "longest shared span covers ALL of a"
+    * is precisely "a is a substring of b", i.e. text_b.contains(text_a).
+    * Callers that never consume span_len (q_shared_spans drops it; the
+    * substring-cluster pipeline keeps only the ids) skip the per-pair
+    * generalized-SA build entirely — the dominant per-pair cost when
+    * most candidates qualify (planted-duplicate corpora). */
+  def sharedSpanFlagPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig = DedupConfig(), minSpan: Int = 47,
+      hotBucketLimit: Int = Int.MaxValue): DataFrame = {
+    import docs.sparkSession.implicits._
+    spanCandidatePayloads(docs, idCol, textCol, cfg, minSpan, hotBucketLimit)
+      .flatMap { case (idA, idB, textA, textB) =>
+        if (!graft.text.SuffixArray.sharedSpanAtLeast(textA, textB, minSpan)) None
+        else {
+          val (a, b, ta, tb) =
+            if (idA > idB) (idB, idA, textB, textA) else (idA, idB, textA, textB)
+          Some((a, b, tb.contains(ta), ta.contains(tb)))
+        }
+      }
+      .toDF("a", "b", "a_in_b", "b_in_a")
+  }
+
+  /** Shared candidate + payload machinery of the span operators: winnow
+    * buckets -> pair runs -> distinct -> payload joins -> pinned
+    * round-robin repartition, as a typed (id_a, id_b, text_a, text_b)
+    * Dataset ready for a per-pair verifier flatMap. */
+  private def spanCandidatePayloads(docs: DataFrame, idCol: String, textCol: String,
+      cfg: DedupConfig, minSpan: Int,
+      hotBucketLimit: Int): org.apache.spark.sql.Dataset[(String, String, String, String)] = {
     require(minSpan >= cfg.winnowWindow + cfg.winnowK - 1,
       s"winnowing only guarantees recall for spans >= ${cfg.winnowWindow + cfg.winnowK - 1}")
     val d = docs.select(col(idCol).cast("string").as("clip_id"),
@@ -409,18 +463,6 @@ object Dedup {
     withB.select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
       .repartition(shufN)
       .as[(String, String, String, String)]
-      .flatMap { case (idA, idB, textA, textB) =>
-        val span = graft.text.SuffixArray.longestSharedSpan(textA, textB)
-        if (span < minSpan) None
-        else {
-          val (a, b, ta, tb) =
-            if (idA > idB) (idB, idA, textB, textA) else (idA, idB, textA, textB)
-          Some((a, b, span,
-            span == ta.codePointCount(0, ta.length),
-            span == tb.codePointCount(0, tb.length)))
-        }
-      }
-      .toDF("a", "b", "span_len", "a_in_b", "b_in_a")
   }
 
   /** Back-compat single-source candidate helpers (tests / SparkEntry).

@@ -82,7 +82,12 @@ object Ann {
   def cosineNearDupPairs(spark: SparkSession, emb: DataFrame, tau: Double,
       planes: Int = 0, tables: Int = 16): DataFrame = {
     val depth = if (planes > 0) planes else autoPlanes(emb.count())
-    val candIds = cosineNearDupCandidates(emb, depth, tables)
+    // pinned width for the exact-cosine verification: the candidate-id
+    // frame is ~16 bytes/row, so AQE would coalesce the verify stage to
+    // ~1 task while each row pays two payload binds + a dim-length dot
+    // product
+    val shufN = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val candIds = cosineNearDupCandidates(emb, depth, tables).repartition(shufN)
     val va = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
     candIds.join(va, "a").join(vb, "b")
@@ -102,8 +107,18 @@ object Ann {
   def cosineNearDupCandidates(emb: DataFrame, planes: Int, tables: Int): DataFrame = {
     val bucketed = bucketsOf(emb, planes, tables)
     val probes = probesUdf(planes)
+    // The probe side is explicitly repartitioned on the join key at the
+    // configured shuffle width: both join inputs are byte-tiny (ids +
+    // bucket ints) so AQE coalesces them to ~1 partition, but the join
+    // OUTPUT fans out to every within-bucket pair — the dominant cost of
+    // the operator (3.8 of 3.6 s wall at sf0.1 in the r6 baseline ran
+    // single-task). A user-specified count is never AQE-coalesced, and
+    // hash-partitioning on the join key is what a shuffle join would do
+    // anyway at scale (guide §2.5).
+    val shufN = emb.sparkSession.sessionState.conf.numShufflePartitions
     val left = bucketed.select(col("t"), explode(probes(col("bucket"))).as("bucket"),
       col("vec_id").as("a"))
+      .repartition(shufN, col("t"), col("bucket"))
     bucketed.select(col("t"), col("bucket"), col("vec_id").as("b"))
       .join(left, Seq("t", "bucket"))
       .where(col("a") < col("b"))

@@ -92,6 +92,69 @@ object SuffixArray {
     out
   }
 
+  /** EXACT decision form of `longestSharedSpan(a, b) >= m`, O(|a| + |b|)
+    * expected: rolling-hash every m-code-point window of the SHORTER
+    * string into a sorted table, probe the longer string's windows, and
+    * verify every hash hit by direct code-point comparison. Equal windows
+    * always produce equal hashes (no false negatives) and a verified hit
+    * is a genuine shared span (no false positives), so the return value
+    * is bit-identical to the suffix-array predicate. This is the verify
+    * hot loop wherever only the >= minSpan decision (not the exact span
+    * length) is consumed: the full generalized SA costs O(n log^2 n) with
+    * a boxed comparator sort per pair. */
+  def sharedSpanAtLeast(a: String, b: String, m: Int): Boolean = {
+    if (m <= 0) return true
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    val ca = codePoints(a)
+    val cb = codePoints(b)
+    val (s, l) = if (ca.length <= cb.length) (ca, cb) else (cb, ca)
+    if (s.length < m) return false
+    val B = 0x9E3779B97F4A7C15L // odd -> multiplication is a bijection mod 2^64
+    var powm1 = 1L
+    var i = 0
+    while (i < m - 1) { powm1 *= B; i += 1 }
+    val ns = s.length - m + 1
+    val hs = new Array[Long](ns)
+    var h = 0L
+    i = 0
+    while (i < m) { h = h * B + s(i); i += 1 }
+    hs(0) = h
+    var w = 1
+    while (w < ns) {
+      h = (h - s(w - 1) * powm1) * B + s(w + m - 1)
+      hs(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    val nl = l.length - m + 1
+    var hl = 0L
+    i = 0
+    while (i < m) { hl = hl * B + l(i); i += 1 }
+    w = 0
+    while (w < nl) {
+      if (w > 0) hl = (hl - l(w - 1) * powm1) * B + l(w + m - 1)
+      if (java.util.Arrays.binarySearch(hs, hl) >= 0 && containsWindow(s, l, w, m))
+        return true
+      w += 1
+    }
+    false
+  }
+
+  /** Does `s` contain the window l[w, w+m) anywhere? Direct comparison —
+    * only reached on a 64-bit hash hit, i.e. at most once per genuinely
+    * qualifying pair (plus ~2^-64 collision noise). */
+  private def containsWindow(s: Array[Int], l: Array[Int], w: Int, m: Int): Boolean = {
+    var p = 0
+    val np = s.length - m + 1
+    while (p < np) {
+      var t = 0
+      while (t < m && s(p + t) == l(w + t)) t += 1
+      if (t == m) return true
+      p += 1
+    }
+    false
+  }
+
   /** Length (in code points) of the longest substring shared by `a` and
     * `b`: generalized suffix array over a ++ SEP ++ b, answer = max LCP
     * between adjacent suffixes owned by different documents (the sentinel

@@ -209,6 +209,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(want.nonEmpty) // the fixture plants qualifying spans
   }
 
+  test("sharedSpanFlagPairs equals sharedSpanPairs minus span_len") {
+    // the flags-only fast path (rolling-gram gate + contains flags, no
+    // per-pair SA) must emit exactly the SA operator's rows
+    import graft.pipeline.{Dedup, DedupConfig}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(lpad($"doc_id".cast("string"), 12, "0").as("id"), $"text")
+    val viaSa = Dedup.sharedSpanPairs(docs, "id", "text", DedupConfig(), minSpan = 47)
+      .select($"a", $"b", $"a_in_b", $"b_in_a")
+      .as[(String, String, Boolean, Boolean)].collect().toSet
+    val viaFlags = Dedup.sharedSpanFlagPairs(docs, "id", "text", DedupConfig(), minSpan = 47)
+      .as[(String, String, Boolean, Boolean)].collect().toSet
+    assert(viaFlags == viaSa)
+    assert(viaSa.nonEmpty)
+  }
+
   test("q_cc_clusters equals driver-side union-find over the verified pairs") {
     val pairs = q("q_minhash_lsh_docs").select($"a", $"b").as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]

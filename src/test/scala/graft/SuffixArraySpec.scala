@@ -88,6 +88,31 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(SuffixArray.longestSharedSpan(null, "abc") == 0)
   }
 
+  test("sharedSpanAtLeast equals the suffix-array predicate (random, all thresholds)") {
+    // the r6 optimization replaced the per-pair SA with this O(n+m) gate
+    // wherever only the >= minSpan decision is consumed — exactness in
+    // BOTH directions is the contract (no false positives from hash
+    // collisions, no false negatives from banding)
+    val rnd = new scala.util.Random(1717)
+    val alphabet = "abc " // small alphabet -> plenty of shared substrings
+    for (_ <- 1 to 300) {
+      val a = Array.fill(1 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val b = Array.fill(1 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val span = SuffixArray.longestSharedSpan(a, b)
+      for (m <- Seq(1, 2, 3, span - 1, span, span + 1, 47).filter(_ >= 1).distinct)
+        assert(SuffixArray.sharedSpanAtLeast(a, b, m) == (span >= m),
+          s"a=$a b=$b m=$m span=$span")
+    }
+    // null/empty edges match longestSharedSpan's zeros
+    assert(!SuffixArray.sharedSpanAtLeast(null, "abc", 1))
+    assert(!SuffixArray.sharedSpanAtLeast("", "abc", 1))
+    assert(SuffixArray.sharedSpanAtLeast("abc", "xbcz", 2))
+    assert(!SuffixArray.sharedSpanAtLeast("abc", "xbcz", 3))
+    // supplementary-plane code points count as one symbol
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(SuffixArray.sharedSpanAtLeast(s"xx$emoji$emoji", s"zz$emoji${emoji}w", 2))
+  }
+
   test("span length is counted in code points (supplementary-plane safe)") {
     // U+1F600 is one code point but two UTF-16 chars
     val emoji = new String(Character.toChars(0x1F600))
