@@ -84,7 +84,20 @@ object ProbeMain {
       Dedup.run(spark,
         graft.gen.ClipGen.generate(spark, 500, seed = 7L)._1.toDF(),
         DedupConfig()).count() // warm
+      val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+          val sub = si.submissionTime.getOrElse(0L)
+          stageLog.add(f"PSTAGE $sub%d id=${si.stageId}%-4d ${wall}%6.2f s tasks=${si.numTasks}%-3d ${si.name.take(70)}")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
       val (rows1, st1) = Dedup.runTimedCount(spark, clips, DedupConfig())
+      spark.sparkContext.removeSparkListener(listener)
+      stageLog.forEach(s => println(s))
       println(s"PROBE pipe_full rows=$rows1 stages=" +
         st1.map { case (n, sec) => f"$n=$sec%.2f" }.mkString(","))
       val (rows2, st2) = Dedup.runTimedCount(spark, clips,

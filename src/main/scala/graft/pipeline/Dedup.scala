@@ -485,16 +485,40 @@ object Dedup {
       .distinct()
   }
 
-  /** The enabled sources' bucket fan-out, one frame (sid, bucket, source). */
+  /** The enabled sources' bucket fan-out, one frame (sid, bucket, source).
+    *
+    * Built in a SINGLE pass over the signature table: each source's
+    * bucket keys become an array<struct<bucket,source>> via codegen'd
+    * higher-order `transform`s (bit-identical key formulas to the
+    * per-source builders above — the transform index IS posexplode's
+    * 0-based int pos), concatenated and exploded once. The earlier
+    * union-of-builders shape read the signature CHECKPOINT once PER
+    * SOURCE (a checkpointed table cannot be column-pruned, so every
+    * branch deserialized the full wide row — a 128-task scan stage and
+    * 4x the deserialization for the same fan-out rows). */
   private def enabledBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val builders = Map[String, (DataFrame, DedupConfig) => DataFrame](
-      "minhash" -> textBuckets, "simhash" -> simhashBuckets,
-      "audio" -> audioBuckets, "substring" -> substringBuckets,
-      "containment" -> containmentBuckets)
+    def tagged(arr: Column, src: String): Column =
+      transform(arr, b => struct(b.as("bucket"), sourceLit(src).as("source")))
+    val perSource = Map[String, Column](
+      "minhash" -> tagged(transform(
+        band_hashes(col("minhash"), lit(cfg.bands), lit(cfg.rowsPerBand)),
+        (h, i) => xxhash64(i, h)), "minhash"),
+      "simhash" -> tagged(transform(simhash_combo_buckets(col("simhash")),
+        c => xxhash64(lit("simhash"), c)), "simhash"),
+      "audio" -> tagged(transform(
+        band_hashes(col("audio_minhash"), lit(cfg.audioBands), lit(cfg.audioRowsPerBand)),
+        (h, i) => xxhash64(lit("audio"), i, h)), "audio"),
+      "substring" -> tagged(transform(col("winnow"),
+        fp => xxhash64(lit("winnow"), fp)), "substring"),
+      "containment" -> tagged(transform(
+        band_hashes(col("minhash"), lit(8), lit(2)),
+        (h, i) => xxhash64(lit("cont"), i, h)), "containment"))
     val enabled = Seq("minhash", "simhash", "audio", "substring", "containment")
       .filter(cfg.sources)
     require(enabled.nonEmpty, s"no known candidate sources in ${cfg.sources}")
-    enabled.map(s => builders(s)(sigs, cfg)).reduce(_ unionByName _)
+    sigs.select(sidOf(col("clip_id")).as("sid"),
+        explode(concat(enabled.map(perSource): _*)).as("bs"))
+      .select(col("sid"), col("bs.bucket").as("bucket"), col("bs.source").as("source"))
   }
 
   /** Oracle-support dump: every clip's bucket memberships across the
@@ -562,7 +586,13 @@ object Dedup {
     val payload = sigs.select(sidOf(col("clip_id")).as("sid"), col("clip_id"),
         col("transcript"), col("sh"), col("afp"))
       .repartition(shufN, col("sid"))
-    val payloadM = materialize(payload)
+    // persist, not a second reliable checkpoint: the payload is a pure
+    // projection of the ALREADY-checkpointed signature table, so its
+    // lineage is shallow and recompute-on-loss is bounded — a checkpoint
+    // here wrote the transcript/sh/afp bytes to the checkpoint store a
+    // second time per run for no added fault-tolerance. DISK_ONLY for the
+    // same GC reason as the sigs barrier (10 GB serialized at 600k clips).
+    val payloadM = payload.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val withA = cands.join(payloadM.select(col("sid").as("a"), col("clip_id").as("id_a"),
       col("transcript").as("text_a"), col("sh").as("sh_a"), col("afp").as("afp_a")), "a")
     val withB = withA.join(payloadM.select(col("sid").as("b"), col("clip_id").as("id_b"),
