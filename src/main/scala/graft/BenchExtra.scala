@@ -39,6 +39,16 @@ object BenchExtra {
         graft.gen.ClipGen.generate(spark, 500, seed = 7L)._1.toDF(),
         graft.pipeline.DedupConfig()).count()
       catch { case e: Throwable => System.err.println(s"[extra] warmup pipeline: $e") }
+    if (sys.env.getOrElse("GRAFT_STAGE_LOG", "0") == "1")
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+          if (wall >= 0.15)
+            println(f"XSTAGE ${si.submissionTime.getOrElse(0L)}%d id=${si.stageId}%-4d ${wall}%6.2f s tasks=${si.numTasks}%-3d ${si.name.take(60)}")
+        }
+      })
     val p0 = ScalingBench.hostProbe()
     qs.foreach { name =>
       explainDir.foreach { d =>

@@ -537,6 +537,17 @@ object SparkEntry {
     val sets = words.join(vocab, "w")
       .groupBy(col("doc_id")).agg(sort_array(collect_set(col("wid"))).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The count populates the persist eagerly AND drives a runtime join-
+    // strategy choice the planner cannot make itself: `sets` is an
+    // aggregate output, so its static size estimate is inflated and both
+    // payload joins planned as sort-merge — two full exchanges + sorts of
+    // the ~candidate-count frame (10.8M rows at sf0.1) to bind a
+    // doc-count-sized table. Below a conservative row bound we hint
+    // broadcast (what AQE would do with honest stats); above it the
+    // planner's shuffle join stands, which is the correct shape at
+    // corpus scale.
+    val setsRows = sets.count()
+    val setsJ = if (setsRows <= 200000) broadcast(sets) else sets
     // explicit round-robin repartition: the candidate frame is byte-tiny
     // (two longs per row) but each row costs a merge walk + two array
     // binds downstream, and AQE's bytes-based coalescing was running the
@@ -544,8 +555,8 @@ object SparkEntry {
     // pinned repartition in Dedup.sharedSpanPairs).
     val shufN = sp.sessionState.conf.numShufflePartitions
     val candP = cand.repartition(shufN)
-    val withA = candP.join(sets.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
-    val withB = withA.join(sets.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
+    val withA = candP.join(setsJ.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
+    val withB = withA.join(setsJ.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
     // ws is a sort_array output — the codegen merge walk replaces
     // array_intersect's per-row hash set
     val inter = sorted_intersect_count(col("wa"), col("wb")).cast("double")
@@ -633,25 +644,33 @@ object SparkEntry {
     val cfg = DedupConfig(tau = 0.5, bands = 25, rowsPerBand = 5)
     val sigs = docs.select(col("clip_id"),
       minhash_text(col("transcript"), cfg.shingleK, cfg.numPerms).as("minhash"))
-    val cands = Dedup.textCandidates(sigs, cfg).select(col("a"), col("b"))
+    // candidate sid pairs straight from the band buckets: the public
+    // textCandidates helper decodes sids to clip ids through two extra
+    // joins + a second distinct, but the verification below recovers the
+    // real ids for free from its own payload join — the same sid-keyed
+    // shape Dedup.verify uses at scale (three fewer exchanges here).
+    val cands = Dedup.pairsFromBuckets(Dedup.textBuckets(sigs, cfg), cfg.hotBucketLimit)
+      .select(col("a"), col("b")).distinct()
     // exact verification in the precompute-and-join form: shingle arrays
     // computed ONCE PER DOC (sorted at source), intersection via the
     // codegen merge walk — never a per-pair re-shingling UDF (measured
     // 2.7 ms/pair; this form is ~150x cheaper and is what Dedup.verify
     // uses at scale). Persisted: BOTH payload joins consume it, and
     // without the barrier each join re-runs the shingle explode.
-    val sh = docs.select(col("clip_id"),
+    val sh = docs.select(Dedup.sidOf(col("clip_id")).as("sid"), col("clip_id"),
       shingle_hashes(col("transcript"), lit(cfg.shingleK)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withA = cands.join(sh.select(col("clip_id").as("a"), col("sh").as("sh_a")), "a")
-    val withB = withA.join(sh.select(col("clip_id").as("b"), col("sh").as("sh_b")), "b")
+    val withA = cands.join(sh.select(col("sid").as("a"),
+      col("clip_id").as("id_a"), col("sh").as("sh_a")), "a")
+    val withB = withA.join(sh.select(col("sid").as("b"),
+      col("clip_id").as("id_b"), col("sh").as("sh_b")), "b")
     val inter = sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
     withB
       .withColumn("j", round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6))
       .where(col("j") >= cfg.tau)
-      // candidate order is string order over ids; re-canonicalize numerically
-      .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
-        greatest(col("a").cast("long"), col("b").cast("long")).as("b"), col("j"))
+      // candidate order is sid hash order; re-canonicalize numerically
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("b"), col("j"))
   }
 
   def oracleSql: Map[String, String] = Map(

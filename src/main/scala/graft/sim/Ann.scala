@@ -147,7 +147,9 @@ object Ann {
       queryPred: org.apache.spark.sql.Column = col("vec_id") < 3,
       trainSampleTarget: Long = 100000L): DataFrame = {
     import spark.implicits._
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // one job for dim + row count (they fed two separate driver jobs)
+    val hdr = emb.agg(first(size(col("embedding"))), count(lit(1))).head()
+    val dim = hdr.getInt(0)
     // Lloyd trains on a seeded hash-sample capped near trainSampleTarget
     // rows: at 10^12 rows, `iters` full assignment+aggregation passes buy
     // nothing a ~100k-row sample doesn't — k-means centroids are a
@@ -156,7 +158,7 @@ object Ann {
     // corpus stays exactly one pass below. Deterministic: the sample is
     // xxhash64(vec_id) % p == 0, not Bernoulli. At sandbox scale
     // (n <= target) p = 1 and training is bit-identical to full-corpus.
-    val nRows = emb.count()
+    val nRows = hdr.getLong(1)
     val p = math.max(1L, nRows / math.max(1L, trainSampleTarget))
     val train =
       if (p > 1)
@@ -191,9 +193,59 @@ object Ann {
       }
       scored.sortBy(-_._1).take(topN).map(_._2)
     }
+    // Driver-local Lloyd when the (already size-capped) training sample
+    // is one partition and small: the distributed loop costs `iters`
+    // driver round-trips (job + collect each) to aggregate 8 rows — pure
+    // serial latency at any scale, because the sample is bounded by
+    // trainSampleTarget BY DESIGN (its O(1/sqrt(m)) error is the whole
+    // justification for sampling). One bounded collect replaces them.
+    // Bit-identical to the distributed path: with a single input
+    // partition the Aggregator reduces rows in partition order into a
+    // zero buffer — exactly the sequential sum below — and assignment
+    // ties break to the lowest centroid index in both (stable sortBy vs
+    // strict-greater argmax). Multi-partition samples keep the
+    // distributed loop (their float summation order is the shuffle's).
+    val localTrain = nRows <= 200000 && train.rdd.getNumPartitions == 1
+    if (localTrain) {
+      val data = train.select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+      var it = 0
+      while (it < iters) {
+        val cnorms = centroids.map(c => math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x)))
+        val sums = Array.ofDim[Double](nCentroids, dim)
+        val cnt = new Array[Long](nCentroids)
+        data.foreach { a =>
+          val norm = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < nCentroids) {
+            val c = centroids(i)
+            var dot = 0.0; var d = 0
+            while (d < a.length) { dot += a(d) * c(d); d += 1 }
+            val score = dot / (norm * cnorms(i) + 1e-12)
+            if (score > bestScore) { bestScore = score; best = i }
+            i += 1
+          }
+          var d = 0
+          while (d < dim) { sums(best)(d) += a(d); d += 1 }
+          cnt(best) += 1
+        }
+        val next = centroids.map(_.clone())
+        var cid = 0
+        while (cid < nCentroids) {
+          if (cnt(cid) > 0) {
+            val n = cnt(cid).toDouble
+            var d = 0
+            while (d < dim) { next(cid)(d) = sums(cid)(d) / n; d += 1 }
+          }
+          cid += 1
+        }
+        centroids = next
+        it += 1
+      }
+    }
     val vecSum = udaf(new VecSumAgg(dim))
     var it = 0
-    while (it < iters) {
+    while (!localTrain && it < iters) {
       // re-center as ONE DataFrame aggregation returning nCentroids rows
       // (cid, elementwise-sum vector, count): partial aggregation sums
       // vectors map-side, the shuffle moves nCentroids x dim doubles per
