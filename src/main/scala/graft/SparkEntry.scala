@@ -120,7 +120,12 @@ object SparkEntry {
       // each event to its 28 trailing days, then keyed sketch distinct
       val ev = tbl(s, dir, "events").withColumn("d", to_date(col("ts")))
       val days = ev.select(col("d").as("day")).distinct()
-      ev.withColumn("day", explode(sequence(col("d"), date_add(col("d"), 27))))
+      // repartition off the single-split scan: the 28x explode + the KMV
+      // partial aggregation (the query's whole cost) otherwise run in one
+      // task. KMV bottom-k is merge-order-invariant, so partial-sketch
+      // partitioning cannot change the result at any scale.
+      ev.repartition(s.sessionState.conf.numShufflePartitions)
+        .withColumn("day", explode(sequence(col("d"), date_add(col("d"), 27))))
         .join(days, Seq("day"), "left_semi")
         .groupBy(col("day"))
         .agg(kmv_est(col("user_id").cast("string"), K).as("du"))
@@ -319,6 +324,7 @@ object SparkEntry {
       // evidence form instead (Dedup star/chunk); this query is the
       // exact-enumeration operator.
       val fp = tbl(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(col("doc_id"), simhash_md5_words(col("text")).as("sh"))
       val bk = fp.select(col("doc_id"), col("sh"),
         explode(simhash_combo_buckets(col("sh"))).as("bucket"))
@@ -582,6 +588,17 @@ object SparkEntry {
     val prefix = ranked.where(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select(col("w"), col("doc_id"), col("rk"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PPJoin INDEX-PREFIX asymmetry (Xiao et al.): orient each unordered
+    // pair so the size-SMALLER doc (ties: smaller id) probes with its
+    // shorter 2tau/(1+tau)-prefix while the larger doc is indexed by the
+    // t-prefix. Exact: a qualifying pair has overlap alpha >=
+    // ceil(tau/(1+tau)(ns+nl)) >= ceil(2tau/(1+tau) ns) (ns <= nl) and
+    // >= ceil(tau*nl) (ns >= tau*nl for a qualifying pair), so the
+    // pair's global-minimum shared token sits inside BOTH prefixes. The
+    // join fan-out — the dominant stage of the query — shrinks by the
+    // probe-prefix ratio (~2/3 at tau=0.5).
+    val probe = prefix
+      .where(col("rk") <= col("n") - ceil(lit(2 * tau / (1.0 + tau)) * col("n")) + 1)
     // Two further EXACT cuts before the candidate pairs bind any payload
     // (verification attaches full word arrays — every row dropped here is
     // two array binds and a merge walk saved):
@@ -593,31 +610,29 @@ object SparkEntry {
     //    |a∩b| >= ceil(tau/(1+tau)*(na+nb)). t* always lies in both
     //    prefixes and passes the bound for a qualifying pair, so keeping
     //    pairs where ANY joined occurrence passes loses nothing.
-    val alpha = ceil(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
-    // The probe side is round-robin repartitioned to the configured
-    // shuffle width before the self-join: the prefix frame is byte-tiny,
-    // so AQE coalesced the join input to ~1 partition — but the join
-    // OUTPUT fans out to every co-occurring prefix pair (the dominant
-    // cost of the whole query: 8.4 of 11.5 s at sf0.1 in the r6 baseline
-    // ran in that single task). A user-specified repartition count is
-    // never AQE-coalesced, so the fan-out and the partial distinct run at
-    // full width (guide §2.5: compute-heavy stage vs bytes-based
-    // coalescing).
-    // Hash-partitioned on the OUTPUT pair's `a`, not round-robin: a pair
-    // sharing k prefix tokens is generated k times (once per token), and
-    // under `a`-partitioning every duplicate of a pair is generated in
-    // the SAME task, so the partial aggregate of the distinct() below
-    // dedups them map-side and only ~distinct pairs cross the exchange
-    // (round-robin left the ~11x duplication to the shuffle; guide §2.3
-    // aggregate-before-you-shuffle).
+    val alpha = ceil(lit(tau / (1.0 + tau)) * (col("ns") + col("nl")))
+    // The probe side is repartitioned to the configured shuffle width
+    // before the self-join: the prefix frame is byte-tiny, so AQE
+    // coalesced the join input to ~1 partition — but the join OUTPUT fans
+    // out to every co-occurring prefix pair (the dominant cost of the
+    // whole query: 8.4 of 11.5 s at sf0.1 in the r6 baseline ran in that
+    // single task). A user-specified repartition count is never
+    // AQE-coalesced (guide §2.5). Hash-partitioned on the probe doc, not
+    // round-robin: every duplicate of a pair (one per shared prefix
+    // token) carries the SAME probe doc, so the partial aggregate of the
+    // distinct() below dedups map-side and only ~distinct pairs cross
+    // the exchange (guide §2.3 aggregate-before-you-shuffle).
     val shufN = words.sparkSession.sessionState.conf.numShufflePartitions
-    prefix.select(col("w"), col("doc_id").as("a"), col("rk").as("rka"), col("n").as("na"))
-      .repartition(shufN, col("a"))
-      .join(prefix.select(col("w"), col("doc_id").as("b"), col("rk").as("rkb"), col("n").as("nb")), "w")
-      .where(col("a") < col("b"))
-      .where(least(col("na"), col("nb")) >= ceil(lit(tau) * greatest(col("na"), col("nb"))))
-      .where(lit(1) + least(col("na") - col("rka"), col("nb") - col("rkb")) >= alpha)
-      .select(col("a"), col("b")).distinct()
+    probe.select(col("w"), col("doc_id").as("s"), col("rk").as("rks"), col("n").as("ns"))
+      .repartition(shufN, col("s"))
+      .join(prefix.select(col("w"), col("doc_id").as("l"), col("rk").as("rkl"), col("n").as("nl")), "w")
+      // orientation: probe doc strictly smaller (ties: smaller id) —
+      // each unordered pair is generated exactly once
+      .where(col("ns") < col("nl") || (col("ns") === col("nl") && col("s") < col("l")))
+      .where(col("ns") >= ceil(lit(tau) * col("nl")))
+      .where(lit(1) + least(col("ns") - col("rks"), col("nl") - col("rkl")) >= alpha)
+      .select(least(col("s"), col("l")).as("a"), greatest(col("s"), col("l")).as("b"))
+      .distinct()
   }
 
   /** Verified near-dup doc pairs via the text LSH path; exact
