@@ -118,14 +118,12 @@ object SparkEntry {
     "q_rolling_distinct" -> ((s, dir) => {
       // amazon-notebook 28-day rolling distinct (SURVEY P6/§2.7): widen
       // each event to its 28 trailing days, then keyed sketch distinct
+      // (r6: an explicit repartition off the single-split scan was tried
+      // and reverted — the 32-way partial KMV merge cost more than the
+      // single-task explode saved: 0.34 s -> 0.54 s steady-state)
       val ev = tbl(s, dir, "events").withColumn("d", to_date(col("ts")))
       val days = ev.select(col("d").as("day")).distinct()
-      // repartition off the single-split scan: the 28x explode + the KMV
-      // partial aggregation (the query's whole cost) otherwise run in one
-      // task. KMV bottom-k is merge-order-invariant, so partial-sketch
-      // partitioning cannot change the result at any scale.
-      ev.repartition(s.sessionState.conf.numShufflePartitions)
-        .withColumn("day", explode(sequence(col("d"), date_add(col("d"), 27))))
+      ev.withColumn("day", explode(sequence(col("d"), date_add(col("d"), 27))))
         .join(days, Seq("day"), "left_semi")
         .groupBy(col("day"))
         .agg(kmv_est(col("user_id").cast("string"), K).as("du"))

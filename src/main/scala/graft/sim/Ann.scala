@@ -116,9 +116,15 @@ object Ann {
     // hash-partitioning on the join key is what a shuffle join would do
     // anyway at scale (guide §2.5).
     val shufN = emb.sparkSession.sessionState.conf.numShufflePartitions
+    // partitioned on the OUTPUT pair's `a`, not the join key: a pair
+    // colliding in k tables is emitted k times (~5x here), and every
+    // duplicate carries the same probe vec_id, so the distinct()'s
+    // partial aggregate dedups map-side and only ~distinct pairs cross
+    // the exchange (guide §2.3); the pinned width also keeps the
+    // fan-out + dedup off the 1-task AQE-coalesced path (§2.5)
     val left = bucketed.select(col("t"), explode(probes(col("bucket"))).as("bucket"),
       col("vec_id").as("a"))
-      .repartition(shufN, col("t"), col("bucket"))
+      .repartition(shufN, col("a"))
     bucketed.select(col("t"), col("bucket"), col("vec_id").as("b"))
       .join(left, Seq("t", "bucket"))
       .where(col("a") < col("b"))
